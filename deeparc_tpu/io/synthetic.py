@@ -1,0 +1,219 @@
+"""Synthetic hemisphere / turntable rig generator with ground truth.
+
+The reference's input datasets (``data/teabottle_green*.deeparc``) are
+stripped from its mount (``/root/reference/.MISSING_LARGE_BLOBS``), so the
+framework generates its own teabottle-shaped problems (SURVEY.md section 4 and
+section 6): an object on a turntable (the "rings" — azimuth steps about the
+vertical axis) viewed by cameras along a meridian arc (the "arcs" —
+elevations), with the composed extrinsic convention of the reference
+(``p = R_arc (R_ring X + t_ring) + t_arc``,
+``src/snavely_reprojection_error.hh:96-108``) and its record layout: the
+world frame IS camera (0,0)'s frame (hence the reference gauge-fixes that
+extrinsic, ``src/sfm.cc:50-53``), record 0 = identity, arc a >= 1 at record a,
+ring r >= 1 at record ``r + n_arc - 1`` (``src/DeepArcManager.cc:166-171``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from deeparc_tpu.io.deeparc_format import DeepArcData
+
+
+@dataclasses.dataclass
+class SyntheticRig:
+    data: DeepArcData          # noisy problem, as would be loaded from disk
+    gt_points: np.ndarray      # (N, 3) ground-truth structure
+    gt_ext_rot: np.ndarray     # (E, 3) ground-truth extrinsics
+    gt_ext_trans: np.ndarray   # (E, 3)
+    image_size: tuple          # (width, height)
+
+
+def _look_at(pos: np.ndarray, target: np.ndarray) -> tuple:
+    """World->camera (R, t): z = forward to target, y = world-down projected."""
+    f = target - pos
+    f = f / np.linalg.norm(f)
+    down_hint = np.array([0.0, 1.0, 0.0])
+    r = np.cross(down_hint, f)
+    r = r / np.linalg.norm(r)
+    d = np.cross(f, r)
+    R = np.stack([r, d, f], axis=0)
+    t = -R @ pos
+    return R, t
+
+
+def _rotmat_to_aa(R: np.ndarray) -> np.ndarray:
+    from deeparc_tpu.io.deeparc_format import _np_matrix_to_angle_axis
+
+    return _np_matrix_to_angle_axis(R.reshape(9, order="F"))
+
+
+def make_hemisphere_rig(
+    n_arc: int = 4,
+    n_ring: int = 8,
+    n_points: int = 500,
+    rho: float = 2.0,
+    object_radius: float = 0.4,
+    focal: float = 1000.0,
+    image_size: tuple = (1600, 1200),
+    focal_size: int = 1,
+    dist_size: int = 0,
+    dist_coeffs: tuple = (-0.05, 0.01),
+    pixel_noise: float = 0.0,
+    point_noise: float = 0.0,
+    random_points: bool = False,
+    visibility: float = 1.0,
+    min_track_length: int = 2,
+    seed: int = 0,
+) -> SyntheticRig:
+    """Build a shared-extrinsic rig problem with known ground truth.
+
+    ``random_points=True`` reproduces the ``teabottle_green_randompoint``
+    configuration (BASELINE.json config 2): structure initialized uniformly at
+    random in the object's bounding box instead of near the truth.
+    """
+    rng = np.random.default_rng(seed)
+    c_obj = np.array([0.0, 0.0, rho])
+
+    # --- ground-truth extrinsic records -----------------------------------
+    n_ext = n_arc + n_ring - 1
+    ext_rot = np.zeros((n_ext, 3))
+    ext_trans = np.zeros((n_ext, 3))
+    # arcs (record a, a >= 1): look-at cameras at elevation theta_a on the
+    # meridian circle of radius rho around the object center (x = 0 plane).
+    max_elev = np.deg2rad(70.0)
+    for a in range(1, n_arc):
+        theta = max_elev * a / max(n_arc - 1, 1)
+        pos = c_obj + np.array(
+            [0.0, -rho * np.sin(theta), -rho * np.cos(theta)]
+        )
+        R, t = _look_at(pos, c_obj)
+        ext_rot[a] = _rotmat_to_aa(R)
+        ext_trans[a] = t
+    # rings (record r + n_arc - 1, r >= 1): turntable rotation by phi about
+    # the vertical (y) axis through the object center: X' = Ry(X - c) + c.
+    for r in range(1, n_ring):
+        phi = 2.0 * np.pi * r / n_ring
+        aa = np.array([0.0, phi, 0.0])
+        cphi, sphi = np.cos(phi), np.sin(phi)
+        Ry = np.array([[cphi, 0, sphi], [0, 1, 0], [-sphi, 0, cphi]])
+        ext_rot[n_arc - 1 + r] = aa
+        ext_trans[n_arc - 1 + r] = c_obj - Ry @ c_obj
+
+    # --- ground-truth structure ------------------------------------------
+    pts = rng.normal(size=(n_points, 3))
+    pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
+    radii = object_radius * np.cbrt(rng.uniform(size=(n_points, 1)))
+    gt_points = c_obj + pts * radii
+    colors = rng.integers(0, 256, size=(n_points, 3)).astype(np.int32)
+
+    # --- intrinsics (one per arc, shared around each ring;
+    #     src/DeepArcManager.cc:210-214) ----------------------------------
+    K = n_arc
+    cx, cy = image_size[0] / 2.0, image_size[1] / 2.0
+    center = np.tile([cx, cy], (K, 1))
+    focal_arr = np.zeros((K, 2))
+    focal_arr[:, 0] = focal
+    if focal_size == 2:
+        focal_arr[:, 1] = focal * 1.01
+    dist_arr = np.zeros((K, 2))
+    if dist_size >= 1:
+        dist_arr[:, 0] = dist_coeffs[0]
+    if dist_size == 2:
+        dist_arr[:, 1] = dist_coeffs[1]
+
+    # --- project every point into every (arc, ring) cell ------------------
+    # Composed model exactly as the residual evaluates it.
+    from deeparc_tpu.io.deeparc_format import DeepArcData as _D  # noqa: F401
+
+    def cell_extrinsics(a, r):
+        """(outer R|t, inner R|t) per reference slot rules (ParameterBlock.hh:75-92)."""
+        ring_rec = 0 if r == 0 else r + n_arc - 1
+        if r == 0:
+            return a, None
+        if a == 0:
+            return ring_rec, None
+        return a, ring_rec
+
+    def aa_to_R(aa):
+        th = np.linalg.norm(aa)
+        if th < 1e-12:
+            return np.eye(3)
+        w = aa / th
+        Kx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        return np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
+
+    obs_arc, obs_ring, obs_point, obs_xy = [], [], [], []
+    w_img, h_img = image_size
+    for a in range(n_arc):
+        for r in range(n_ring):
+            outer, inner = cell_extrinsics(a, r)
+            p = gt_points
+            if inner is not None:
+                p = p @ aa_to_R(ext_rot[inner]).T + ext_trans[inner]
+            p = p @ aa_to_R(ext_rot[outer]).T + ext_trans[outer]
+            z_ok = p[:, 2] > 0.2
+            xp = p[:, 0] / np.where(z_ok, p[:, 2], 1.0)
+            yp = p[:, 1] / np.where(z_ok, p[:, 2], 1.0)
+            r2 = xp * xp + yp * yp
+            d0 = dist_arr[a, 0] if dist_size >= 1 else 0.0
+            d1 = dist_arr[a, 1] if dist_size == 2 else 0.0
+            distortion = 1.0 + r2 * (d0 + d1 * r2)
+            fx = focal_arr[a, 0]
+            fy = focal_arr[a, 1] if focal_size == 2 else focal_arr[a, 0]
+            u = fx * distortion * xp + cx
+            v = fy * distortion * yp + cy
+            in_img = z_ok & (u >= 0) & (u < w_img) & (v >= 0) & (v < h_img)
+            if visibility < 1.0:
+                in_img &= rng.uniform(size=n_points) < visibility
+            idx = np.nonzero(in_img)[0]
+            obs_arc.append(np.full(idx.shape, a, dtype=np.int32))
+            obs_ring.append(np.full(idx.shape, r, dtype=np.int32))
+            obs_point.append(idx.astype(np.int32))
+            xy = np.stack([u[idx], v[idx]], axis=1)
+            obs_xy.append(xy)
+
+    obs_arc = np.concatenate(obs_arc)
+    obs_ring = np.concatenate(obs_ring)
+    obs_point = np.concatenate(obs_point)
+    obs_xy = np.concatenate(obs_xy, axis=0)
+    if pixel_noise > 0:
+        obs_xy = obs_xy + rng.normal(scale=pixel_noise, size=obs_xy.shape)
+
+    # Drop points with short tracks, then re-index densely.
+    counts = np.bincount(obs_point, minlength=n_points)
+    keep = counts >= min_track_length
+    new_index = np.cumsum(keep) - 1
+    mask = keep[obs_point]
+    obs_arc, obs_ring = obs_arc[mask], obs_ring[mask]
+    obs_point = new_index[obs_point[mask]].astype(np.int32)
+    obs_xy = obs_xy[mask]
+    gt_points = gt_points[keep]
+    colors = colors[keep]
+    n_points = gt_points.shape[0]
+
+    # --- initial (noisy) structure ---------------------------------------
+    if random_points:
+        lo = c_obj - object_radius
+        hi = c_obj + object_radius
+        init_points = rng.uniform(lo, hi, size=(n_points, 3))
+    elif point_noise > 0:
+        init_points = gt_points + rng.normal(scale=point_noise, size=(n_points, 3))
+    else:
+        init_points = gt_points.copy()
+
+    data = DeepArcData(
+        version=0.01, share_extrinsic=True, arc_size=n_arc, ring_size=n_ring,
+        obs_arc=obs_arc, obs_ring=obs_ring, obs_point=obs_point, obs_xy=obs_xy,
+        center=center, focal=focal_arr,
+        focal_size=np.full(K, focal_size, dtype=np.int32),
+        dist=dist_arr, dist_size=np.full(K, dist_size, dtype=np.int32),
+        ext_rot=ext_rot.copy(), ext_trans=ext_trans.copy(),
+        points=init_points, colors=colors,
+    )
+    return SyntheticRig(
+        data=data, gt_points=gt_points, gt_ext_rot=ext_rot,
+        gt_ext_trans=ext_trans, image_size=image_size,
+    )
