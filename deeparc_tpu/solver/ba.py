@@ -1,0 +1,216 @@
+"""Bundle-adjustment driver: LM trust region over the Schur-eliminated scene.
+
+The native replacement for the reference's ``solve()``
+(``src/sfm.cc:31-75``): where that assembles a ``ceres::Problem`` block by
+block and calls ``ceres::Solve`` (DENSE_SCHUR, <=100 iterations, 3600 s cap,
+progress to stdout), this jit-compiles ONE step function — linearize
+(vmap-jacfwd) -> Schur solve -> trial evaluation -> trust-region update — and
+drives it either from Python (per-iteration Ceres-style progress lines +
+wall-clock budget, like ``minimizer_progress_to_stdout``) or fully on-device
+in a ``lax.while_loop`` (zero host round-trips; the bench/entry path).
+
+Status codes: 0 running/max-iter, 2 function-tol, 3 gradient-tol,
+4 parameter-tol, 5 trust region collapsed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deeparc_tpu.config import SolverOptions
+from deeparc_tpu.residuals.reprojection import (
+    camera_col_indices,
+    cost as cost_fn,
+    flatten_camera,
+    jacobian_blocks,
+    unflatten_camera,
+)
+from deeparc_tpu.scene import BAParams, SceneIndex
+from deeparc_tpu.solver import trust_region as tr_mod
+from deeparc_tpu.solver.schur import build_system, j_times, solve_schur
+
+
+class BAState(NamedTuple):
+    params: BAParams
+    cost: jnp.ndarray
+    tr: tr_mod.TRState
+    k: jnp.ndarray
+    status: jnp.ndarray
+
+
+class StepInfo(NamedTuple):
+    cost: jnp.ndarray
+    cost_change: jnp.ndarray
+    grad_max: jnp.ndarray
+    step_norm: jnp.ndarray
+    radius: jnp.ndarray
+    rho: jnp.ndarray
+    accepted: jnp.ndarray
+
+
+class BAResult(NamedTuple):
+    params: BAParams
+    cost: jnp.ndarray
+    iterations: int
+    status: int
+
+
+def _apply_step(params: BAParams, dp: jnp.ndarray, dc: jnp.ndarray) -> BAParams:
+    cam = flatten_camera(params) + dc
+    out = unflatten_camera(cam, params)
+    return dataclasses.replace(out, points=params.points + dp)
+
+
+def make_step(
+    index: SceneIndex, free: BAParams, options: SolverOptions
+):
+    """Build the jitted LM step: BAState -> (BAState, StepInfo).
+
+    ``free`` is the 0/1 freeze-mask pytree from ``scene.freeze_masks`` —
+    the flat equivalent of the reference's SetParameterBlockConstant calls
+    (``src/sfm.cc:50-63``).
+    """
+    cam_free = flatten_camera(free)
+    point_free = free.points
+    n_points = point_free.shape[0]
+    n_cam = cam_free.shape[0]
+
+    def step(state: BAState):
+        params = state.params
+        cols = camera_col_indices(index, params.ext_rot.shape[0])
+        blocks = jacobian_blocks(params, index)
+        sys = build_system(
+            blocks.r, blocks.j_point, blocks.j_cam, cols, index.obs_point,
+            n_points, n_cam, cam_free, point_free,
+        )
+        dp, dc = solve_schur(sys, state.tr.radius, options)
+        j_dx = j_times(sys, dp, dc)
+        mcc = tr_mod.model_cost_change(j_dx, sys.r)
+
+        trial = _apply_step(params, dp, dc)
+        new_cost = cost_fn(trial, index)
+        rho = (state.cost - new_cost) / jnp.maximum(mcc, 1e-300)
+        accept = (mcc > 0) & (rho > options.min_relative_decrease)
+
+        tr_next = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b),
+            tr_mod.step_accepted(state.tr, rho, options.max_radius),
+            tr_mod.step_rejected(state.tr),
+        )
+        params_next = jax.tree.map(
+            lambda new, old: jnp.where(accept, new, old), trial, params
+        )
+        cost_next = jnp.where(accept, new_cost, state.cost)
+
+        grad_max = jnp.maximum(
+            jnp.max(jnp.abs(sys.g_c)), jnp.max(jnp.abs(sys.g_p))
+        )
+        step_norm = jnp.sqrt(jnp.vdot(dp, dp) + jnp.vdot(dc, dc))
+        x_norm = jnp.sqrt(
+            jnp.vdot(params.points, params.points)
+            + jnp.vdot(flatten_camera(params), flatten_camera(params))
+        )
+        cost_change = state.cost - new_cost
+        ftol = accept & (
+            jnp.abs(cost_change) <= options.function_tolerance * state.cost
+        )
+        ptol = accept & (
+            step_norm
+            <= options.parameter_tolerance
+            * (x_norm + options.parameter_tolerance)
+        )
+        gtol = grad_max <= options.gradient_tolerance
+        radius_min = tr_next.radius <= options.min_radius
+        status = jnp.where(
+            gtol, 3,
+            jnp.where(ftol, 2, jnp.where(ptol, 4, jnp.where(radius_min, 5, 0))),
+        )
+        next_state = BAState(
+            params=params_next, cost=cost_next, tr=tr_next,
+            k=state.k + 1, status=jnp.asarray(status),
+        )
+        info = StepInfo(
+            cost=cost_next, cost_change=cost_change, grad_max=grad_max,
+            step_norm=step_norm, radius=state.tr.radius, rho=rho,
+            accepted=accept,
+        )
+        return next_state, info
+
+    return step
+
+
+def init_state(
+    params: BAParams, index: SceneIndex, options: SolverOptions
+) -> BAState:
+    dtype = params.points.dtype
+    return BAState(
+        params=params,
+        cost=cost_fn(params, index),
+        tr=tr_mod.init_tr(options.initial_radius, dtype),
+        k=jnp.asarray(0),
+        status=jnp.asarray(0),
+    )
+
+
+def solve_ba(
+    params: BAParams,
+    index: SceneIndex,
+    free: BAParams,
+    options: SolverOptions = SolverOptions(),
+    driver: str = "python",
+) -> BAResult:
+    """Run LM to convergence.
+
+    driver='python': step-per-dispatch with Ceres-style progress printing and
+      the wall-clock cap (``max_solver_time_in_seconds``, sfm.cc:71).
+    driver='while_loop': the whole solve is one device computation (no
+      per-iteration host sync; used by benchmarks and the multi-chip path).
+    """
+    step = make_step(index, free, options)
+
+    if driver == "while_loop":
+        jit_solve = jax.jit(
+            lambda s: jax.lax.while_loop(
+                lambda st: (st.status == 0) & (st.k < options.max_iterations),
+                lambda st: step(st)[0],
+                s,
+            )
+        )
+        final = jit_solve(init_state(params, index, options))
+        return BAResult(
+            params=final.params, cost=final.cost,
+            iterations=int(final.k), status=int(final.status),
+        )
+
+    jit_step = jax.jit(step)
+    state = init_state(params, index, options)
+    t0 = time.time()
+    if options.progress_to_stdout:
+        print(
+            f"{'iter':>4} {'cost':>14} {'cost_change':>12} {'|gradient|':>11}"
+            f" {'tr_radius':>10} {'rho':>9} {'accept':>6}"
+        )
+        print(f"{0:>4} {float(state.cost):>14.6e}")
+    k = 0
+    while int(state.status) == 0 and k < options.max_iterations:
+        if time.time() - t0 > options.max_seconds:
+            break
+        state, info = jit_step(state)
+        k += 1
+        if options.progress_to_stdout:
+            print(
+                f"{k:>4} {float(info.cost):>14.6e}"
+                f" {float(info.cost_change):>12.4e}"
+                f" {float(info.grad_max):>11.4e}"
+                f" {float(info.radius):>10.3e} {float(info.rho):>9.3f}"
+                f" {bool(info.accepted)!s:>6}"
+            )
+    return BAResult(
+        params=state.params, cost=float(state.cost),
+        iterations=k, status=int(state.status),
+    )

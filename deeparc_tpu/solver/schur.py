@@ -1,0 +1,217 @@
+"""Schur-complement elimination of points: the reduced camera system.
+
+TPU-native replacement for Ceres' DENSE_SCHUR linear solver (SURVEY.md
+section 2.2; selected by the reference at ``src/sfm.cc:67,95``). The normal
+equations of one LM iteration,
+
+    [ B   E ] [dp]   [-g_p]        B: (N, 3, 3) per-point blocks
+    [ E^T C ] [dc] = [-g_c]        C: (C, C) camera-camera
+
+are solved by eliminating every point's 3x3 block in parallel (closed-form
+batched inverses — pure VPU work) and solving the reduced camera system
+
+    S dc = -g_c + E^T B^-1 g_p,    S = C - E^T B^-1 E
+
+either densely (exact Cholesky — the DENSE_SCHUR analogue, for moderate
+camera counts) or matrix-free with preconditioned CG (ITERATIVE_SCHUR — the
+at-scale path: S is never materialized; each application of S is a handful of
+batched einsums over observations plus segment-sums per point, which is
+exactly the shape XLA tiles onto the MXU/VPU). Back-substitution then
+recovers dp = -B^-1 (g_p + E dc) pointwise.
+
+All operators respect freeze masks (gauge fixing / frozen intrinsics /
+freeze-camera pre-solve, ``src/sfm.cc:50-63``): frozen columns are zeroed in
+J and their rows of S are replaced by identity, so frozen deltas are exactly
+zero.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deeparc_tpu.config import SolverOptions
+from deeparc_tpu.solver.linalg import inv3x3, masked_spd_solve, pcg
+from deeparc_tpu.solver.trust_region import lm_diagonal
+
+
+class SchurSystem(NamedTuple):
+    """One linearization, masked and ready for (possibly repeated) solves."""
+
+    r: jnp.ndarray          # (M, 2)
+    j_point: jnp.ndarray    # (M, 2, 3)   frozen point coords zeroed
+    j_cam: jnp.ndarray      # (M, 2, 18)  frozen camera cols zeroed
+    cols: jnp.ndarray       # (M, 18)
+    obs_point: jnp.ndarray  # (M,)
+    g_p: jnp.ndarray        # (N, 3)
+    g_c: jnp.ndarray        # (C,)
+    hpp: jnp.ndarray        # (N, 3, 3)
+    hcc_diag: jnp.ndarray   # (C,)
+    cam_free: jnp.ndarray   # (C,) 0/1
+    point_free: jnp.ndarray  # (N, 3) 0/1
+
+
+def build_system(
+    r: jnp.ndarray,
+    j_point: jnp.ndarray,
+    j_cam: jnp.ndarray,
+    cols: jnp.ndarray,
+    obs_point: jnp.ndarray,
+    n_points: int,
+    n_cam: int,
+    cam_free: jnp.ndarray,
+    point_free: jnp.ndarray,
+) -> SchurSystem:
+    j_cam = j_cam * cam_free[cols][:, None, :]
+    j_point = j_point * point_free[obs_point][:, None, :]
+
+    g_p = jax.ops.segment_sum(
+        jnp.einsum("mri,mr->mi", j_point, r), obs_point, num_segments=n_points
+    )
+    g_c = jnp.zeros(n_cam, r.dtype).at[cols].add(
+        jnp.einsum("mrc,mr->mc", j_cam, r)
+    )
+    hpp = jax.ops.segment_sum(
+        jnp.einsum("mri,mrj->mij", j_point, j_point),
+        obs_point,
+        num_segments=n_points,
+    )
+    hcc_diag = jnp.zeros(n_cam, r.dtype).at[cols].add(
+        jnp.einsum("mrc,mrc->mc", j_cam, j_cam)
+    )
+    return SchurSystem(
+        r=r, j_point=j_point, j_cam=j_cam, cols=cols, obs_point=obs_point,
+        g_p=g_p, g_c=g_c, hpp=hpp, hcc_diag=hcc_diag,
+        cam_free=cam_free, point_free=point_free,
+    )
+
+
+def _augmented_point_blocks(
+    sys: SchurSystem, radius: jnp.ndarray, options: SolverOptions
+) -> jnp.ndarray:
+    """B~^-1: inverses of LM-augmented per-point 3x3 blocks (frozen -> I)."""
+    diag = jnp.diagonal(sys.hpp, axis1=-2, axis2=-1)
+    d2 = lm_diagonal(diag, options.min_lm_diagonal, options.max_lm_diagonal)
+    aug = sys.hpp + jnp.eye(3, dtype=sys.hpp.dtype) * d2[:, :, None] / radius
+    # frozen coords: identity rows/cols keep the block invertible; their
+    # gradient entries are already zero so their delta is exactly zero.
+    frozen = 1.0 - sys.point_free
+    aug = aug + frozen[:, :, None] * jnp.eye(3, dtype=aug.dtype)
+    return inv3x3(aug)
+
+
+def _cam_aug_diag(
+    sys: SchurSystem, radius: jnp.ndarray, options: SolverOptions
+) -> jnp.ndarray:
+    d2 = lm_diagonal(
+        sys.hcc_diag, options.min_lm_diagonal, options.max_lm_diagonal
+    )
+    return d2 / radius
+
+
+def schur_matvec(
+    sys: SchurSystem,
+    binv: jnp.ndarray,
+    cam_aug: jnp.ndarray,
+    v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Apply S = (Hcc + aug) - E^T B~^-1 E matrix-free; frozen rows act as I."""
+    n_points = sys.g_p.shape[0]
+    n_cam = sys.g_c.shape[0]
+    v_cols = v[sys.cols]                                        # (M, 18)
+    t = jnp.einsum("mrc,mc->mr", sys.j_cam, v_cols)             # (M, 2)
+    hcc_v = jnp.zeros(n_cam, v.dtype).at[sys.cols].add(
+        jnp.einsum("mrc,mr->mc", sys.j_cam, t)
+    )
+    ev = jax.ops.segment_sum(
+        jnp.einsum("mri,mr->mi", sys.j_point, t),
+        sys.obs_point,
+        num_segments=n_points,
+    )
+    w = jnp.einsum("pij,pj->pi", binv, ev)
+    t2 = jnp.einsum("mri,mi->mr", sys.j_point, w[sys.obs_point])
+    corr = jnp.zeros(n_cam, v.dtype).at[sys.cols].add(
+        jnp.einsum("mrc,mr->mc", sys.j_cam, t2)
+    )
+    s = hcc_v + cam_aug * v - corr
+    return jnp.where(sys.cam_free > 0.5, s, v)
+
+
+def _dense_E(sys: SchurSystem) -> jnp.ndarray:
+    """Materialize E (N, 3, C) — only for the dense (DENSE_SCHUR) path."""
+    M = sys.cols.shape[0]
+    n_points = sys.g_p.shape[0]
+    n_cam = sys.g_c.shape[0]
+    W = jnp.einsum("mri,mrc->mic", sys.j_point, sys.j_cam)  # (M, 3, 18)
+    idx_p = sys.obs_point[:, None, None]
+    idx_i = jnp.arange(3, dtype=jnp.int32)[None, :, None]
+    idx_c = sys.cols[:, None, :]
+    return jnp.zeros((n_points, 3, n_cam), W.dtype).at[idx_p, idx_i, idx_c].add(W)
+
+
+def solve_schur(
+    sys: SchurSystem,
+    radius: jnp.ndarray,
+    options: SolverOptions,
+) -> tuple:
+    """Solve the augmented normal equations; returns (dp (N,3), dc (C,))."""
+    binv = _augmented_point_blocks(sys, radius, options)
+    cam_aug = _cam_aug_diag(sys, radius, options)
+
+    # rhs of the reduced system: -g_c + E^T B~^-1 g_p
+    w_g = jnp.einsum("pij,pj->pi", binv, sys.g_p)
+    t_g = jnp.einsum("mri,mi->mr", sys.j_point, w_g[sys.obs_point])
+    n_cam = sys.g_c.shape[0]
+    rhs = -sys.g_c + jnp.zeros(n_cam, sys.g_c.dtype).at[sys.cols].add(
+        jnp.einsum("mrc,mr->mc", sys.j_cam, t_g)
+    )
+    rhs = rhs * sys.cam_free
+
+    if options.linear_solver == "dense_schur":
+        E = _dense_E(sys)
+        hcc = jnp.zeros((n_cam, n_cam), sys.r.dtype).at[
+            sys.cols[:, :, None], sys.cols[:, None, :]
+        ].add(jnp.einsum("mri,mrj->mij", sys.j_cam, sys.j_cam))
+        S = hcc + jnp.diag(cam_aug) - jnp.einsum(
+            "pic,pij,pjd->cd", E, binv, E
+        )
+        dc = masked_spd_solve(S, rhs, sys.cam_free)
+    elif options.linear_solver == "iterative_schur":
+        precond_diag = jnp.where(
+            sys.cam_free > 0.5, 1.0 / (sys.hcc_diag + cam_aug + 1e-300), 1.0
+        )
+        result = pcg(
+            lambda v: schur_matvec(sys, binv, cam_aug, v),
+            rhs,
+            precond=lambda v: precond_diag * v,
+            max_iterations=options.cg_max_iterations,
+            tol=options.cg_tolerance,
+        )
+        dc = result.x * sys.cam_free
+    else:
+        raise ValueError(f"unknown linear_solver {options.linear_solver!r}")
+
+    # back-substitution: dp = -B~^-1 (g_p + E dc)
+    t_dc = jnp.einsum(
+        "mrc,mc->mr", sys.j_cam, dc[sys.cols]
+    )
+    e_dc = jax.ops.segment_sum(
+        jnp.einsum("mri,mr->mi", sys.j_point, t_dc),
+        sys.obs_point,
+        num_segments=sys.g_p.shape[0],
+    )
+    dp = -jnp.einsum("pij,pj->pi", binv, sys.g_p + e_dc)
+    dp = dp * sys.point_free
+    return dp, dc
+
+
+def j_times(
+    sys: SchurSystem, dp: jnp.ndarray, dc: jnp.ndarray
+) -> jnp.ndarray:
+    """J [dp; dc] per observation (M, 2) — for the model-cost-change test."""
+    return (
+        jnp.einsum("mri,mi->mr", sys.j_point, dp[sys.obs_point])
+        + jnp.einsum("mrc,mc->mr", sys.j_cam, dc[sys.cols])
+    )
