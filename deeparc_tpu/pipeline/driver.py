@@ -1,0 +1,174 @@
+"""The full SfM pipeline: hemisphere fit -> freeze solve -> filter loop.
+
+Native re-design of the reference's ``main()`` (``src/sfm.cc:77-131``):
+
+  1. load the scene, compute camera centers              (sfm.cc:83-86)
+  2. fit the hemisphere prior by LM                      (sfm.cc:89-103)
+  3. PLY snapshot of the initial scene                   (sfm.cc:110)
+  4. points-only BA (freeze_camera=true, 100 iters)      (sfm.cc:111)
+  5. filter outliers (threshold 5.0, hemisphere cut)     (sfm.cc:112)
+  6. repeat { full BA; filter; snapshot } until the point
+     count stops changing                                (sfm.cc:118-127)
+  7. final PLY + refined .deeparc                        (sfm.cc:129-130)
+
+Differences by design: paths/thresholds are options instead of #defines;
+scene shrinkage is masking + bucketed compaction (bounded recompiles) instead
+of pointer deletion; every solve is the jit-compiled Schur LM.
+
+Checkpoint/resume (SURVEY.md section 5): a ``.deeparc`` written after any
+filter round is itself a valid restart input, exactly as in the reference;
+``run_pipeline`` additionally writes a small JSON sidecar with the solver
+state per round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from deeparc_tpu.config import PipelineOptions
+from deeparc_tpu.geometry import camera_center_single, hemisphere_camera_centers
+from deeparc_tpu.io.deeparc_format import DeepArcData, write_deeparc
+from deeparc_tpu.io.ply import write_ply
+from deeparc_tpu.pipeline.filtering import filter_outliers
+from deeparc_tpu.residuals.reprojection import residuals
+from deeparc_tpu.scene import Scene, compact, freeze_masks, from_deeparc, to_deeparc
+from deeparc_tpu.solver.ba import solve_ba
+from deeparc_tpu.solver.lm import fit_hemisphere
+
+
+class PipelineResult(NamedTuple):
+    scene: Scene
+    hemisphere: np.ndarray       # [cx, cy, cz, r^2]
+    filter_rounds: int
+    final_cost: float
+    final_rmse_px: float
+
+
+def scene_camera_centers(scene: Scene) -> jnp.ndarray:
+    """All camera centers: hemisphere enumeration in shared mode
+    (``getCameraCenter``, DeepArcManager.cc:501-518), else one per extrinsic."""
+    rot = scene.params.ext_rot[:-1]
+    trans = scene.params.ext_trans[:-1]
+    if scene.meta.share_extrinsic:
+        return hemisphere_camera_centers(
+            rot, trans, scene.meta.arc_size, scene.meta.ring_size
+        )
+    return camera_center_single(rot, trans)
+
+
+def _camera_composed_flags(scene: Scene) -> np.ndarray:
+    """PLY camera coloring: composed (magenta) iff arc != 0 and ring != 0
+    (DeepArcManager.cc:291-299)."""
+    if not scene.meta.share_extrinsic:
+        return np.zeros(scene.n_extrinsics, dtype=bool)
+    A, R = scene.meta.arc_size, scene.meta.ring_size
+    arc = np.repeat(np.arange(A), R)
+    ring = np.tile(np.arange(R), A)
+    return (arc != 0) & (ring != 0)
+
+
+def _snapshot(scene: Scene, path: str) -> None:
+    data = to_deeparc(scene)
+    centers = np.asarray(scene_camera_centers(scene))
+    write_ply(path, data.points, data.colors, centers, _camera_composed_flags(scene))
+
+
+def rmse_px(scene: Scene) -> float:
+    r = residuals(scene.params, scene.index)
+    n = float(np.maximum(np.asarray(jnp.sum(scene.index.obs_mask)), 1.0))
+    return float(np.sqrt(float(jnp.sum(r * r)) / n))
+
+
+def run_pipeline(
+    data: DeepArcData,
+    options: PipelineOptions = PipelineOptions(),
+    output_dir: Optional[str] = None,
+    basename: str = "scene",
+    dtype=jnp.float64,
+    verbose: bool = True,
+) -> PipelineResult:
+    t_start = time.time()
+    out = lambda name: os.path.join(output_dir, name) if output_dir else None
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+
+    scene = from_deeparc(data, dtype=dtype)
+    log = print if verbose else (lambda *a, **k: None)
+    log(f"[deeparc] loaded: {scene.n_obs} obs, {scene.n_points} points, "
+        f"{scene.n_extrinsics} extrinsics, {scene.n_intrinsics} intrinsics, "
+        f"share_extrinsic={scene.meta.share_extrinsic}")
+
+    # hemisphere prior fit (sfm.cc:86-103)
+    centers = scene_camera_centers(scene)
+    hemi = np.asarray(
+        fit_hemisphere(centers, options.hemisphere_max_iterations)
+    )
+    log(f"[deeparc] hemisphere fit: center={hemi[:3]} r^2={hemi[3]:.6f}")
+
+    if output_dir and options.write_snapshots:
+        _snapshot(scene, out(f"{basename}_init.ply"))
+
+    # points-only pre-solve (freeze_camera=true; sfm.cc:111)
+    free_frozen = freeze_masks(scene, freeze_camera=True)
+    result = solve_ba(scene.params, scene.index, free_frozen, options.solver)
+    scene = dataclasses.replace(scene, params=result.params)
+    log(f"[deeparc] freeze-camera solve: cost={float(result.cost):.6e} "
+        f"iters={result.iterations}")
+
+    scene, stats = filter_outliers(scene, hemi[:3], hemi[3], options.filter)
+    log(f"block: {int(stats.obs_alive)}")
+    log(f"point3d: {int(stats.points_alive)}")
+
+    step = 0
+    if output_dir and options.write_snapshots:
+        _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
+
+    # solve-filter loop until the point count stabilizes (sfm.cc:118-127)
+    old_points, current_points = -1, int(stats.points_alive)
+    while current_points != old_points and step < options.max_filter_rounds:
+        step += 1
+        old_points = current_points
+        scene = compact(scene, obs_bucket=1024, point_bucket=256)
+        free = freeze_masks(scene)
+        result = solve_ba(scene.params, scene.index, free, options.solver)
+        scene = dataclasses.replace(scene, params=result.params)
+        scene, stats = filter_outliers(scene, hemi[:3], hemi[3], options.filter)
+        current_points = int(stats.points_alive)
+        log(f"block: {int(stats.obs_alive)}")
+        log(f"point3d: {current_points}")
+        if output_dir and options.write_snapshots:
+            _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
+        if output_dir:
+            sidecar = {
+                "round": step, "cost": float(result.cost),
+                "iterations": result.iterations, "status": result.status,
+                "obs_alive": int(stats.obs_alive),
+                "points_alive": current_points,
+                "elapsed_s": time.time() - t_start,
+            }
+            with open(out(f"{basename}_state.json"), "w") as f:
+                json.dump(sidecar, f, indent=2)
+
+    log(f"TOTAL REPEAT: {step}")
+    scene = compact(scene)
+    if output_dir:
+        _snapshot(scene, out(f"{basename}_clear.ply"))
+        write_deeparc(to_deeparc(scene), out(f"{basename}_output.deeparc"))
+
+    final_cost = 0.5 * float(
+        jnp.sum(residuals(scene.params, scene.index) ** 2)
+    )
+    return PipelineResult(
+        scene=scene,
+        hemisphere=hemi,
+        filter_rounds=step,
+        final_cost=final_cost,
+        final_rmse_px=rmse_px(scene),
+    )

@@ -1,0 +1,97 @@
+"""Outlier filtering as mask updates (the reference's filterPoint3d).
+
+Native equivalent of ``DeepArcManager::filterPoint3d``
+(``src/DeepArcManager.cc:331-424``; call sites ``src/sfm.cc:112,122``) with
+pointer surgery replaced by boolean masks over the flat scene
+(SURVEY.md section 7 design stance). The four passes become three vectorized
+mask updates:
+
+  1. re-evaluate every live observation's residual with current parameters
+     and mark observations by the per-observation MSE ``(r0^2 + r1^2) / 2``
+     against ``error_boundary`` (cc:347-349). NOTE the reference removes
+     observations with mse < boundary — an inverted-looking comparison
+     (SURVEY.md section 2.4); the direction is an explicit option here,
+     defaulting to the sane ``>``.
+  2. points left with zero live observations die (``Point3d::empty``,
+     cc:368-378).
+  3. points farther than ``hemisphere_radius / 2`` in SQUARED distance from
+     the hemisphere center die, cascading to their observations
+     (cc:380-408; the fitted "radius" is r^2, hemisphere_radius.hh:26).
+
+Physical compaction (the erase passes) happens separately in
+``scene.compact`` between solves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deeparc_tpu.config import FilterOptions
+from deeparc_tpu.residuals.reprojection import residuals
+from deeparc_tpu.scene import BAParams, Scene, SceneIndex
+
+
+class FilterStats(NamedTuple):
+    obs_alive: jnp.ndarray
+    points_alive: jnp.ndarray
+
+
+def filter_masks(
+    params: BAParams,
+    index: SceneIndex,
+    hemisphere_center: jnp.ndarray,
+    hemisphere_radius: jnp.ndarray,
+    options: FilterOptions = FilterOptions(),
+) -> tuple:
+    """Compute updated (obs_mask, point_mask); pure jnp, jit-friendly."""
+    r = residuals(params, index)
+    mse = 0.5 * jnp.sum(r * r, axis=-1)
+    if options.parity_inverted:
+        # literal reference comparison, DeepArcManager.cc:348
+        bad_obs = mse < options.error_boundary
+    else:
+        bad_obs = mse > options.error_boundary
+    obs_mask = index.obs_mask * (1.0 - bad_obs.astype(index.obs_mask.dtype))
+
+    n_points = index.point_mask.shape[0]
+    live_counts = jax.ops.segment_sum(
+        obs_mask, index.obs_point, num_segments=n_points
+    )
+    point_mask = index.point_mask * (live_counts > 0)
+
+    if options.hemisphere_cut:
+        d2 = jnp.sum((params.points - hemisphere_center[None, :]) ** 2, axis=-1)
+        far = d2 > hemisphere_radius / 2.0
+        point_mask = point_mask * (1.0 - far.astype(point_mask.dtype))
+
+    # cascade: observations of dead points die (Point3d::total_link removal)
+    obs_mask = obs_mask * point_mask[index.obs_point]
+    return obs_mask, point_mask
+
+
+def filter_outliers(
+    scene: Scene,
+    hemisphere_center,
+    hemisphere_radius,
+    options: FilterOptions = FilterOptions(),
+) -> tuple:
+    """Apply the filter to a Scene; returns (scene_with_new_masks, stats)."""
+    obs_mask, point_mask = filter_masks(
+        scene.params,
+        scene.index,
+        jnp.asarray(hemisphere_center, scene.params.points.dtype),
+        jnp.asarray(hemisphere_radius, scene.params.points.dtype),
+        options,
+    )
+    index = dataclasses.replace(
+        scene.index, obs_mask=obs_mask, point_mask=point_mask
+    )
+    stats = FilterStats(
+        obs_alive=jnp.sum(obs_mask).astype(jnp.int32),
+        points_alive=jnp.sum(point_mask).astype(jnp.int32),
+    )
+    return dataclasses.replace(scene, index=index), stats

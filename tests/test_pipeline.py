@@ -1,0 +1,129 @@
+"""Pipeline tests: filtering semantics, compaction, end-to-end driver, CLI."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from deeparc_tpu.config import FilterOptions, PipelineOptions, SolverOptions
+from deeparc_tpu.io import make_hemisphere_rig, read_deeparc
+from deeparc_tpu.pipeline import filter_outliers, run_pipeline
+from deeparc_tpu.residuals import residuals
+from deeparc_tpu.scene import compact, from_deeparc
+
+
+def _scene(**kw):
+    rig = make_hemisphere_rig(n_arc=3, n_ring=4, n_points=40, seed=11, **kw)
+    return rig, from_deeparc(rig.data)
+
+
+def test_filter_removes_high_error_observations():
+    rig, scene = _scene(pixel_noise=0.1)
+    # corrupt a handful of measurements -> large residuals
+    xy = np.asarray(scene.index.obs_xy).copy()
+    xy[:5] += 40.0
+    scene = dataclasses.replace(
+        scene, index=dataclasses.replace(scene.index, obs_xy=jnp.asarray(xy))
+    )
+    filtered, stats = filter_outliers(
+        scene, np.zeros(3), 1e9, FilterOptions(error_boundary=5.0)
+    )
+    mask = np.asarray(filtered.index.obs_mask)
+    assert (mask[:5] == 0).all()
+    assert mask[5:].sum() == scene.n_obs - 5
+
+
+def test_filter_parity_inverted_reproduces_reference_direction():
+    """parity mode removes the WELL-fitting observations (mse < boundary),
+    literally as DeepArcManager.cc:347-349."""
+    rig, scene = _scene(pixel_noise=0.1)
+    filtered, stats = filter_outliers(
+        scene, np.zeros(3), 1e9,
+        FilterOptions(error_boundary=5.0, parity_inverted=True),
+    )
+    # everything fits well (0.1 px noise), so parity mode kills everything
+    assert int(stats.obs_alive) == 0
+    assert int(stats.points_alive) == 0
+
+
+def test_filter_hemisphere_cut_cascades_to_observations():
+    rig, scene = _scene()
+    pts = np.asarray(scene.params.points).copy()
+    pts[3] = [100.0, 100.0, 100.0]  # fling one point far away
+    scene = dataclasses.replace(
+        scene, params=dataclasses.replace(scene.params, points=jnp.asarray(pts))
+    )
+    # hemisphere centered at the object, r^2 = 4 -> cut at d^2 > 2
+    filtered, stats = filter_outliers(
+        scene, np.array([0.0, 0.0, 2.0]), 4.0,
+        FilterOptions(error_boundary=1e9),
+    )
+    pm = np.asarray(filtered.index.point_mask)
+    assert pm[3] == 0
+    om = np.asarray(filtered.index.obs_mask)
+    op = np.asarray(scene.index.obs_point)
+    assert (om[op == 3] == 0).all()
+    # near-object points survive
+    assert pm.sum() == scene.n_points - 1
+
+
+def test_compact_drops_dead_and_reindexes():
+    rig, scene = _scene()
+    filtered, _ = filter_outliers(
+        scene, np.array([0.0, 0.0, 2.0]), 4.0, FilterOptions(error_boundary=1e9)
+    )
+    pts_before = np.asarray(filtered.index.point_mask).sum()
+    c = compact(filtered, obs_bucket=64, point_bucket=16)
+    assert c.n_points % 16 == 0
+    assert c.n_obs % 64 == 0
+    assert np.asarray(c.index.point_mask).sum() == pts_before
+    # residuals of live observations unchanged by compaction
+    r_old = np.asarray(residuals(filtered.params, filtered.index))
+    r_new = np.asarray(residuals(c.params, c.index))
+    alive_old = np.asarray(filtered.index.obs_mask) > 0.5
+    alive_new = np.asarray(c.index.obs_mask) > 0.5
+    np.testing.assert_allclose(
+        np.sort(np.linalg.norm(r_old[alive_old], axis=1)),
+        np.sort(np.linalg.norm(r_new[alive_new], axis=1)),
+        atol=1e-12,
+    )
+
+
+def test_end_to_end_pipeline_writes_loadable_output(tmp_path):
+    rig = make_hemisphere_rig(
+        n_arc=3, n_ring=6, n_points=150, pixel_noise=0.5, point_noise=0.03,
+        seed=12,
+    )
+    opts = PipelineOptions(
+        solver=SolverOptions(max_iterations=20, progress_to_stdout=False),
+    )
+    result = run_pipeline(
+        rig.data, opts, output_dir=str(tmp_path), basename="t", verbose=False
+    )
+    # converged near the noise floor (0.5 px/axis -> ~0.7 px rmse over 2 dims)
+    assert result.final_rmse_px < 1.0
+    assert result.filter_rounds >= 1
+    out = read_deeparc(str(tmp_path / "t_output.deeparc"))
+    assert out.n_points == int(np.asarray(result.scene.index.point_mask).sum())
+    assert (tmp_path / "t_init.ply").exists()
+    assert (tmp_path / "t_clear.ply").exists()
+    assert (tmp_path / "t_state.json").exists()
+    # the output is itself a valid restart checkpoint
+    scene2 = from_deeparc(out)
+    r = residuals(scene2.params, scene2.index)
+    rmse2 = float(jnp.sqrt(jnp.mean(jnp.sum(r * r, axis=-1))))
+    assert rmse2 < 1.5
+
+
+def test_cli_smoke(tmp_path, capsys):
+    from deeparc_tpu.pipeline.cli import main
+
+    rc = main([
+        "--synthetic", "--n-arc", "3", "--n-ring", "4", "--n-points", "60",
+        "--pixel-noise", "0.3", "--max-iterations", "10",
+        "-o", str(tmp_path), "--quiet",
+    ])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "done:" in captured.out
+    assert (tmp_path / "synthetic_output.deeparc").exists()
