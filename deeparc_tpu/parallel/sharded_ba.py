@@ -38,7 +38,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deeparc_tpu.config import SolverOptions
 from deeparc_tpu.residuals.reprojection import (
-    camera_col_indices,
     cost as cost_fn,
     flatten_camera,
     jacobian_blocks,
@@ -50,9 +49,11 @@ from deeparc_tpu.solver.linalg import masked_spd_solve
 from deeparc_tpu.solver.schur import (
     _augmented_point_blocks,
     _cam_aug_diag,
-    _dense_E,
+    back_substitute,
     build_system,
+    dense_S,
     j_times,
+    reduced_rhs,
 )
 
 
@@ -206,11 +207,11 @@ def solve_ba_sharded(
             params, index = local_scene(
                 points_, obs, unflatten_camera(cam_vec, cam_template)
             )
-            cols = camera_col_indices(index, n_ext_rows)
             blocks = jacobian_blocks(params, index)
+            n_intr = cam_template.center.shape[0]
             sys = build_system(
-                blocks.r, blocks.j_point, blocks.j_cam, cols, index.obs_point,
-                n_local, n_cam, cam_free, point_free,
+                blocks.r, blocks.j_point, blocks.j_cam, index,
+                n_local, n_ext_rows, n_intr, cam_free, point_free,
             )
             # assemble the replicated reduced camera system over the mesh
             g_c = jax.lax.psum(sys.g_c, axis)
@@ -220,27 +221,17 @@ def solve_ba_sharded(
             binv = _augmented_point_blocks(sys, tr.radius, options)
             cam_aug = _cam_aug_diag(sys, tr.radius, options)
 
-            w_g = jnp.einsum("pij,pj->pi", binv, sys.g_p)
-            t_g = jnp.einsum("mri,mi->mr", sys.j_point, w_g[sys.obs_point])
-            rhs_local = jnp.zeros(n_cam, g_c.dtype).at[sys.cols].add(
-                jnp.einsum("mrc,mr->mc", sys.j_cam, t_g)
-            )
-            rhs = (-g_c + jax.lax.psum(rhs_local, axis)) * cam_free
+            # reduced_rhs subtracts the replicated g_c once per shard; add
+            # back (S-1) copies so the psum yields -g_c + psum(E^T B^-1 g_p).
+            n_shards = jax.lax.psum(1, axis)
+            rhs = (
+                jax.lax.psum(reduced_rhs(sys, binv), axis)
+                + (n_shards - 1) * g_c
+            ) * cam_free
 
-            E = _dense_E(sys)
-            hcc_local = jnp.zeros((n_cam, n_cam), g_c.dtype).at[
-                sys.cols[:, :, None], sys.cols[:, None, :]
-            ].add(jnp.einsum("mri,mrj->mij", sys.j_cam, sys.j_cam))
-            corr_local = jnp.einsum("pic,pij,pjd->cd", E, binv, E)
-            S = jax.lax.psum(hcc_local - corr_local, axis) + jnp.diag(cam_aug)
+            S = jax.lax.psum(dense_S(sys, binv), axis) + jnp.diag(cam_aug)
             dc = masked_spd_solve(S, rhs, cam_free)
-
-            t_dc = jnp.einsum("mrc,mc->mr", sys.j_cam, dc[sys.cols])
-            e_dc = jax.ops.segment_sum(
-                jnp.einsum("mri,mr->mi", sys.j_point, t_dc),
-                sys.obs_point, num_segments=n_local,
-            )
-            dp = -jnp.einsum("pij,pj->pi", binv, sys.g_p + e_dc) * point_free
+            dp = back_substitute(sys, binv, dc)
 
             j_dx = j_times(sys, dp, dc)
             mcc = jax.lax.psum(tr_mod.model_cost_change(j_dx, sys.r), axis)

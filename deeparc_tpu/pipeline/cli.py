@@ -69,8 +69,8 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from deeparc_tpu.config import FilterOptions, PipelineOptions, SolverOptions
-    from deeparc_tpu.io.bal import read_bal
-    from deeparc_tpu.io.deeparc_format import read_deeparc
+    from deeparc_tpu.io.native import read_bal_fast as read_bal
+    from deeparc_tpu.io.native import read_deeparc_fast as read_deeparc
     from deeparc_tpu.io.synthetic import make_hemisphere_rig
     from deeparc_tpu.pipeline.driver import run_pipeline
 

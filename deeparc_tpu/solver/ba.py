@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from deeparc_tpu.config import SolverOptions
 from deeparc_tpu.residuals.reprojection import (
-    camera_col_indices,
     cost as cost_fn,
     flatten_camera,
     jacobian_blocks,
@@ -78,15 +77,14 @@ def make_step(
     cam_free = flatten_camera(free)
     point_free = free.points
     n_points = point_free.shape[0]
-    n_cam = cam_free.shape[0]
 
     def step(state: BAState):
         params = state.params
-        cols = camera_col_indices(index, params.ext_rot.shape[0])
         blocks = jacobian_blocks(params, index)
         sys = build_system(
-            blocks.r, blocks.j_point, blocks.j_cam, cols, index.obs_point,
-            n_points, n_cam, cam_free, point_free,
+            blocks.r, blocks.j_point, blocks.j_cam, index,
+            n_points, params.ext_rot.shape[0], params.center.shape[0],
+            cam_free, point_free,
         )
         dp, dc = solve_schur(sys, state.tr.radius, options)
         j_dx = j_times(sys, dp, dc)

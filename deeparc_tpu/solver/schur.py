@@ -15,9 +15,15 @@ batched inverses — pure VPU work) and solving the reduced camera system
 either densely (exact Cholesky — the DENSE_SCHUR analogue, for moderate
 camera counts) or matrix-free with preconditioned CG (ITERATIVE_SCHUR — the
 at-scale path: S is never materialized; each application of S is a handful of
-batched einsums over observations plus segment-sums per point, which is
-exactly the shape XLA tiles onto the MXU/VPU). Back-substitution then
-recovers dp = -B^-1 (g_p + E dc) pointwise.
+batched einsums over observations plus segment-sums, which is exactly the
+shape XLA tiles onto the MXU/VPU). Back-substitution then recovers
+dp = -B^-1 (g_p + E dc) pointwise.
+
+Camera-side accumulations exploit the column structure (18 per-observation
+columns = 3 groups of 6 keyed by outer-extrinsic / inner-extrinsic /
+intrinsic id) and use per-group segment sums instead of generic scatter-add:
+on TPU an arbitrary-index scatter is both slow to compile and slow to run,
+while segmented sums lower well.
 
 All operators respect freeze masks (gauge fixing / frozen intrinsics /
 freeze-camera pre-solve, ``src/sfm.cc:50-63``): frozen columns are zeroed in
@@ -43,8 +49,13 @@ class SchurSystem(NamedTuple):
     r: jnp.ndarray          # (M, 2)
     j_point: jnp.ndarray    # (M, 2, 3)   frozen point coords zeroed
     j_cam: jnp.ndarray      # (M, 2, 18)  frozen camera cols zeroed
-    cols: jnp.ndarray       # (M, 18)
+    cols: jnp.ndarray       # (M, 18) flat camera-vector column indices
     obs_point: jnp.ndarray  # (M,)
+    obs_outer: jnp.ndarray  # (M,) outer-extrinsic row ids
+    obs_inner: jnp.ndarray  # (M,) inner-extrinsic row ids
+    obs_intr: jnp.ndarray   # (M,) intrinsic ids
+    n_ext_rows: int         # static: extrinsic rows incl. identity slot
+    n_intr: int             # static
     g_p: jnp.ndarray        # (N, 3)
     g_c: jnp.ndarray        # (C,)
     hpp: jnp.ndarray        # (N, 3, 3)
@@ -53,39 +64,61 @@ class SchurSystem(NamedTuple):
     point_free: jnp.ndarray  # (N, 3) 0/1
 
 
+def cam_accumulate(sys: "SchurSystem", vals: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate per-observation 18-wide camera values into the flat (C,)
+    camera vector without generic scatter: the 18 columns decompose into
+    three groups of 6 keyed by (outer, inner, intrinsic) id, each a plain
+    segment-sum (column layout guarantees group g of obs m lands at rows
+    id_g(m)*6 .. +6)."""
+    ext = jax.ops.segment_sum(
+        vals[:, 0:6], sys.obs_outer, num_segments=sys.n_ext_rows
+    ) + jax.ops.segment_sum(
+        vals[:, 6:12], sys.obs_inner, num_segments=sys.n_ext_rows
+    )
+    intr = jax.ops.segment_sum(
+        vals[:, 12:18], sys.obs_intr, num_segments=sys.n_intr
+    )
+    return jnp.concatenate([ext.reshape(-1), intr.reshape(-1)])
+
+
 def build_system(
     r: jnp.ndarray,
     j_point: jnp.ndarray,
     j_cam: jnp.ndarray,
-    cols: jnp.ndarray,
-    obs_point: jnp.ndarray,
+    index,
     n_points: int,
-    n_cam: int,
+    n_ext_rows: int,
+    n_intr: int,
     cam_free: jnp.ndarray,
     point_free: jnp.ndarray,
 ) -> SchurSystem:
+    """Assemble the masked system from Jacobian blocks + a SceneIndex-like
+    object carrying (obs_point, obs_outer, obs_inner, obs_intr)."""
+    from deeparc_tpu.residuals.reprojection import camera_col_indices
+
+    cols = camera_col_indices(index, n_ext_rows)
+    obs_point = index.obs_point
     j_cam = j_cam * cam_free[cols][:, None, :]
     j_point = j_point * point_free[obs_point][:, None, :]
 
+    sys = SchurSystem(
+        r=r, j_point=j_point, j_cam=j_cam, cols=cols, obs_point=obs_point,
+        obs_outer=index.obs_outer, obs_inner=index.obs_inner,
+        obs_intr=index.obs_intr, n_ext_rows=n_ext_rows, n_intr=n_intr,
+        g_p=None, g_c=None, hpp=None, hcc_diag=None,
+        cam_free=cam_free, point_free=point_free,
+    )
     g_p = jax.ops.segment_sum(
         jnp.einsum("mri,mr->mi", j_point, r), obs_point, num_segments=n_points
     )
-    g_c = jnp.zeros(n_cam, r.dtype).at[cols].add(
-        jnp.einsum("mrc,mr->mc", j_cam, r)
-    )
+    g_c = cam_accumulate(sys, jnp.einsum("mrc,mr->mc", j_cam, r))
     hpp = jax.ops.segment_sum(
         jnp.einsum("mri,mrj->mij", j_point, j_point),
         obs_point,
         num_segments=n_points,
     )
-    hcc_diag = jnp.zeros(n_cam, r.dtype).at[cols].add(
-        jnp.einsum("mrc,mrc->mc", j_cam, j_cam)
-    )
-    return SchurSystem(
-        r=r, j_point=j_point, j_cam=j_cam, cols=cols, obs_point=obs_point,
-        g_p=g_p, g_c=g_c, hpp=hpp, hcc_diag=hcc_diag,
-        cam_free=cam_free, point_free=point_free,
-    )
+    hcc_diag = cam_accumulate(sys, jnp.einsum("mrc,mrc->mc", j_cam, j_cam))
+    return sys._replace(g_p=g_p, g_c=g_c, hpp=hpp, hcc_diag=hcc_diag)
 
 
 def _augmented_point_blocks(
@@ -119,12 +152,9 @@ def schur_matvec(
 ) -> jnp.ndarray:
     """Apply S = (Hcc + aug) - E^T B~^-1 E matrix-free; frozen rows act as I."""
     n_points = sys.g_p.shape[0]
-    n_cam = sys.g_c.shape[0]
     v_cols = v[sys.cols]                                        # (M, 18)
     t = jnp.einsum("mrc,mc->mr", sys.j_cam, v_cols)             # (M, 2)
-    hcc_v = jnp.zeros(n_cam, v.dtype).at[sys.cols].add(
-        jnp.einsum("mrc,mr->mc", sys.j_cam, t)
-    )
+    hcc_v = cam_accumulate(sys, jnp.einsum("mrc,mr->mc", sys.j_cam, t))
     ev = jax.ops.segment_sum(
         jnp.einsum("mri,mr->mi", sys.j_point, t),
         sys.obs_point,
@@ -132,16 +162,13 @@ def schur_matvec(
     )
     w = jnp.einsum("pij,pj->pi", binv, ev)
     t2 = jnp.einsum("mri,mi->mr", sys.j_point, w[sys.obs_point])
-    corr = jnp.zeros(n_cam, v.dtype).at[sys.cols].add(
-        jnp.einsum("mrc,mr->mc", sys.j_cam, t2)
-    )
+    corr = cam_accumulate(sys, jnp.einsum("mrc,mr->mc", sys.j_cam, t2))
     s = hcc_v + cam_aug * v - corr
     return jnp.where(sys.cam_free > 0.5, s, v)
 
 
 def _dense_E(sys: SchurSystem) -> jnp.ndarray:
     """Materialize E (N, 3, C) — only for the dense (DENSE_SCHUR) path."""
-    M = sys.cols.shape[0]
     n_points = sys.g_p.shape[0]
     n_cam = sys.g_c.shape[0]
     W = jnp.einsum("mri,mrc->mic", sys.j_point, sys.j_cam)  # (M, 3, 18)
@@ -149,6 +176,39 @@ def _dense_E(sys: SchurSystem) -> jnp.ndarray:
     idx_i = jnp.arange(3, dtype=jnp.int32)[None, :, None]
     idx_c = sys.cols[:, None, :]
     return jnp.zeros((n_points, 3, n_cam), W.dtype).at[idx_p, idx_i, idx_c].add(W)
+
+
+def reduced_rhs(sys: SchurSystem, binv: jnp.ndarray) -> jnp.ndarray:
+    """-g_c + E^T B~^-1 g_p (local part; psum across shards if distributed)."""
+    w_g = jnp.einsum("pij,pj->pi", binv, sys.g_p)
+    t_g = jnp.einsum("mri,mi->mr", sys.j_point, w_g[sys.obs_point])
+    return -sys.g_c + cam_accumulate(
+        sys, jnp.einsum("mrc,mr->mc", sys.j_cam, t_g)
+    )
+
+
+def back_substitute(
+    sys: SchurSystem, binv: jnp.ndarray, dc: jnp.ndarray
+) -> jnp.ndarray:
+    """dp = -B~^-1 (g_p + E dc)."""
+    t_dc = jnp.einsum("mrc,mc->mr", sys.j_cam, dc[sys.cols])
+    e_dc = jax.ops.segment_sum(
+        jnp.einsum("mri,mr->mi", sys.j_point, t_dc),
+        sys.obs_point,
+        num_segments=sys.g_p.shape[0],
+    )
+    dp = -jnp.einsum("pij,pj->pi", binv, sys.g_p + e_dc)
+    return dp * sys.point_free
+
+
+def dense_S(sys: SchurSystem, binv: jnp.ndarray) -> jnp.ndarray:
+    """Hcc - E^T B~^-1 E materialized (C, C), WITHOUT the LM diagonal."""
+    n_cam = sys.g_c.shape[0]
+    E = _dense_E(sys)
+    hcc = jnp.zeros((n_cam, n_cam), sys.r.dtype).at[
+        sys.cols[:, :, None], sys.cols[:, None, :]
+    ].add(jnp.einsum("mri,mrj->mij", sys.j_cam, sys.j_cam))
+    return hcc - jnp.einsum("pic,pij,pjd->cd", E, binv, E)
 
 
 def solve_schur(
@@ -159,24 +219,10 @@ def solve_schur(
     """Solve the augmented normal equations; returns (dp (N,3), dc (C,))."""
     binv = _augmented_point_blocks(sys, radius, options)
     cam_aug = _cam_aug_diag(sys, radius, options)
-
-    # rhs of the reduced system: -g_c + E^T B~^-1 g_p
-    w_g = jnp.einsum("pij,pj->pi", binv, sys.g_p)
-    t_g = jnp.einsum("mri,mi->mr", sys.j_point, w_g[sys.obs_point])
-    n_cam = sys.g_c.shape[0]
-    rhs = -sys.g_c + jnp.zeros(n_cam, sys.g_c.dtype).at[sys.cols].add(
-        jnp.einsum("mrc,mr->mc", sys.j_cam, t_g)
-    )
-    rhs = rhs * sys.cam_free
+    rhs = reduced_rhs(sys, binv) * sys.cam_free
 
     if options.linear_solver == "dense_schur":
-        E = _dense_E(sys)
-        hcc = jnp.zeros((n_cam, n_cam), sys.r.dtype).at[
-            sys.cols[:, :, None], sys.cols[:, None, :]
-        ].add(jnp.einsum("mri,mrj->mij", sys.j_cam, sys.j_cam))
-        S = hcc + jnp.diag(cam_aug) - jnp.einsum(
-            "pic,pij,pjd->cd", E, binv, E
-        )
+        S = dense_S(sys, binv) + jnp.diag(cam_aug)
         dc = masked_spd_solve(S, rhs, sys.cam_free)
     elif options.linear_solver == "iterative_schur":
         precond_diag = jnp.where(
@@ -193,17 +239,7 @@ def solve_schur(
     else:
         raise ValueError(f"unknown linear_solver {options.linear_solver!r}")
 
-    # back-substitution: dp = -B~^-1 (g_p + E dc)
-    t_dc = jnp.einsum(
-        "mrc,mc->mr", sys.j_cam, dc[sys.cols]
-    )
-    e_dc = jax.ops.segment_sum(
-        jnp.einsum("mri,mr->mi", sys.j_point, t_dc),
-        sys.obs_point,
-        num_segments=sys.g_p.shape[0],
-    )
-    dp = -jnp.einsum("pij,pj->pi", binv, sys.g_p + e_dc)
-    dp = dp * sys.point_free
+    dp = back_substitute(sys, binv, dc)
     return dp, dc
 
 

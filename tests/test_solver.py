@@ -93,10 +93,10 @@ def test_schur_step_matches_dense_normal_equations():
     N, C = scene.n_points, camera_dim(scene.params)
 
     blocks = jacobian_blocks(scene.params, scene.index)
-    cols = camera_col_indices(scene.index, scene.params.ext_rot.shape[0])
     sys = build_system(
-        blocks.r, blocks.j_point, blocks.j_cam, cols, scene.index.obs_point,
-        N, C, cam_free, point_free,
+        blocks.r, blocks.j_point, blocks.j_cam, scene.index,
+        N, scene.params.ext_rot.shape[0], scene.params.center.shape[0],
+        cam_free, point_free,
     )
     radius = jnp.asarray(1e4, scene.params.points.dtype)
     opts = SolverOptions()
