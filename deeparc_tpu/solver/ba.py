@@ -161,11 +161,17 @@ def solve_ba(
     free: BAParams,
     options: SolverOptions = SolverOptions(),
     driver: str = "python",
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+    logger=None,
 ) -> BAResult:
     """Run LM to convergence.
 
     driver='python': step-per-dispatch with Ceres-style progress printing and
-      the wall-clock cap (``max_solver_time_in_seconds``, sfm.cc:71).
+      the wall-clock cap (``max_solver_time_in_seconds``, sfm.cc:71);
+      supports periodic solver-state checkpoints (resume=True restarts from
+      checkpoint_path with the saved trust-region state) and a JsonlLogger.
     driver='while_loop': the whole solve is one device computation (no
       per-iteration host sync; used by benchmarks and the multi-chip path).
     """
@@ -187,6 +193,29 @@ def solve_ba(
 
     jit_step = jax.jit(step)
     state = init_state(params, index, options)
+    start_iter = 0
+    if resume and checkpoint_path:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            from deeparc_tpu.utils.checkpoint import load_solver_state
+
+            ck_params, scal = load_solver_state(
+                checkpoint_path, dtype=params.points.dtype
+            )
+            state = BAState(
+                params=ck_params,
+                cost=cost_fn(ck_params, index),
+                tr=tr_mod.TRState(
+                    radius=jnp.asarray(scal["radius"], params.points.dtype),
+                    decrease_factor=jnp.asarray(
+                        scal["decrease_factor"], params.points.dtype
+                    ),
+                ),
+                k=jnp.asarray(scal["iteration"]),
+                status=jnp.asarray(0),
+            )
+            start_iter = scal["iteration"]
     t0 = time.time()
     if options.progress_to_stdout:
         print(
@@ -194,7 +223,7 @@ def solve_ba(
             f" {'tr_radius':>10} {'rho':>9} {'accept':>6}"
         )
         print(f"{0:>4} {float(state.cost):>14.6e}")
-    k = 0
+    k = start_iter
     while int(state.status) == 0 and k < options.max_iterations:
         if time.time() - t0 > options.max_seconds:
             break
@@ -207,6 +236,23 @@ def solve_ba(
                 f" {float(info.grad_max):>11.4e}"
                 f" {float(info.radius):>10.3e} {float(info.rho):>9.3f}"
                 f" {bool(info.accepted)!s:>6}"
+            )
+        if logger is not None:
+            logger.log(
+                "lm_iteration", iter=k, cost=float(info.cost),
+                cost_change=float(info.cost_change),
+                grad_max=float(info.grad_max),
+                step_norm=float(info.step_norm),
+                radius=float(info.radius), rho=float(info.rho),
+                accepted=bool(info.accepted),
+            )
+        if checkpoint_path and k % checkpoint_every == 0:
+            from deeparc_tpu.utils.checkpoint import save_solver_state
+
+            save_solver_state(
+                checkpoint_path, state.params,
+                float(state.tr.radius), float(state.tr.decrease_factor),
+                k, float(state.cost),
             )
     return BAResult(
         params=state.params, cost=float(state.cost),

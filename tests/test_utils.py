@@ -1,0 +1,85 @@
+"""Tests for the aux subsystems: checkpoint/resume, logging, profiling."""
+
+import json
+
+import numpy as np
+
+from deeparc_tpu.config import SolverOptions
+from deeparc_tpu.io import make_hemisphere_rig
+from deeparc_tpu.scene import freeze_masks, from_deeparc
+from deeparc_tpu.solver import solve_ba
+from deeparc_tpu.utils import (
+    JsonlLogger,
+    load_solver_state,
+    phase_timer,
+    save_solver_state,
+)
+from deeparc_tpu.utils.profiling import phase_report, reset_phases
+
+
+def _problem():
+    rig = make_hemisphere_rig(
+        n_arc=3, n_ring=4, n_points=30, point_noise=0.05, pixel_noise=0.4,
+        seed=31,
+    )
+    scene = from_deeparc(rig.data)
+    return scene, freeze_masks(scene)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    scene, free = _problem()
+    path = str(tmp_path / "state.npz")
+    save_solver_state(path, scene.params, 123.0, 4.0, 7, 55.5)
+    params, scal = load_solver_state(path)
+    np.testing.assert_allclose(
+        np.asarray(params.points), np.asarray(scene.params.points)
+    )
+    assert scal == {
+        "radius": 123.0, "decrease_factor": 4.0, "iteration": 7, "cost": 55.5
+    }
+
+
+def test_solve_resume_from_checkpoint(tmp_path):
+    scene, free = _problem()
+    path = str(tmp_path / "ck.npz")
+    opts = SolverOptions(max_iterations=3)
+    a = solve_ba(
+        scene.params, scene.index, free, opts,
+        checkpoint_path=path, checkpoint_every=1,
+    )
+    # resume with a larger budget continues from iteration 3
+    opts2 = SolverOptions(max_iterations=10)
+    b = solve_ba(
+        scene.params, scene.index, free, opts2,
+        checkpoint_path=path, checkpoint_every=100, resume=True,
+    )
+    assert b.iterations >= 3
+    assert float(b.cost) <= float(a.cost) + 1e-9
+
+
+def test_jsonl_logger(tmp_path):
+    scene, free = _problem()
+    path = str(tmp_path / "log.jsonl")
+    with JsonlLogger(path) as logger:
+        solve_ba(
+            scene.params, scene.index, free,
+            SolverOptions(max_iterations=4), logger=logger,
+        )
+    records = [json.loads(line) for line in open(path)]
+    assert len(records) >= 1
+    assert all(r["event"] == "lm_iteration" for r in records)
+    assert set(records[0]) >= {
+        "iter", "cost", "grad_max", "radius", "rho", "accepted"
+    }
+    costs = [r["cost"] for r in records if r["accepted"]]
+    assert costs == sorted(costs, reverse=True)
+
+
+def test_phase_timer():
+    reset_phases()
+    with phase_timer("stage_a"):
+        pass
+    with phase_timer("stage_a"):
+        pass
+    rep = phase_report()
+    assert rep["stage_a"]["count"] == 2
