@@ -65,8 +65,9 @@ def measure(args) -> dict:
 
     from deeparc_tpu.config import SolverOptions
     from deeparc_tpu.io.synthetic import make_hemisphere_rig
+    from deeparc_tpu.residuals.reprojection import flatten_camera
     from deeparc_tpu.scene import freeze_masks, from_deeparc
-    from deeparc_tpu.solver.ba import init_state, make_step
+    from deeparc_tpu.solver.ba import init_state, make_step_pure
 
     cfg = build_config(args)
     rig = make_hemisphere_rig(**cfg)
@@ -82,20 +83,24 @@ def measure(args) -> dict:
         function_tolerance=0.0, gradient_tolerance=0.0,
         parameter_tolerance=0.0,
     )
-    step = jax.jit(lambda s: make_step(scene.index, free, options)(s)[0])
+    step_pure = make_step_pure(options)
+    step = jax.jit(lambda s, idx, cf, pf: step_pure(s, idx, cf, pf)[0],
+                   donate_argnums=(0,))
+    cam_free = flatten_camera(free)
+    point_free = free.points
 
     state = init_state(scene.params, scene.index, options)
     t_compile = time.time()
-    state = step(state)
+    state = step(state, scene.index, cam_free, point_free)
     jax.block_until_ready(state.cost)
     compile_s = time.time() - t_compile
     for _ in range(args.warmup - 1):
-        state = step(state)
+        state = step(state, scene.index, cam_free, point_free)
     jax.block_until_ready(state.cost)
 
     t0 = time.time()
     for _ in range(args.iters):
-        state = step(state)
+        state = step(state, scene.index, cam_free, point_free)
     jax.block_until_ready(state.cost)
     dt = time.time() - t0
 

@@ -65,20 +65,19 @@ def _apply_step(params: BAParams, dp: jnp.ndarray, dc: jnp.ndarray) -> BAParams:
     return dataclasses.replace(out, points=params.points + dp)
 
 
-def make_step(
-    index: SceneIndex, free: BAParams, options: SolverOptions
-):
-    """Build the jitted LM step: BAState -> (BAState, StepInfo).
+def make_step_pure(options: SolverOptions):
+    """Build the LM step as a PURE function
+    ``step(state, index, cam_free, point_free) -> (BAState, StepInfo)``.
 
-    ``free`` is the 0/1 freeze-mask pytree from ``scene.freeze_masks`` —
-    the flat equivalent of the reference's SetParameterBlockConstant calls
-    (``src/sfm.cc:50-63``).
+    The scene index and freeze masks are arguments, not closures: closed-over
+    arrays would be embedded as HLO constants, bloating the executable and
+    (through the remote-compile tunnel) multiplying compile time by the size
+    of the observation arrays. Passing them keeps the compiled program
+    shape-parameterized and the data device-resident.
     """
-    cam_free = flatten_camera(free)
-    point_free = free.points
-    n_points = point_free.shape[0]
 
-    def step(state: BAState):
+    def step(state: BAState, index: SceneIndex, cam_free, point_free):
+        n_points = point_free.shape[0]
         params = state.params
         blocks = jacobian_blocks(params, index)
         sys = build_system(
@@ -142,6 +141,15 @@ def make_step(
     return step
 
 
+def make_step(index: SceneIndex, free: BAParams, options: SolverOptions):
+    """Compatibility wrapper closing over (index, masks); prefer
+    make_step_pure + explicit arguments at jit boundaries."""
+    step = make_step_pure(options)
+    cam_free = flatten_camera(free)
+    point_free = free.points
+    return lambda state: step(state, index, cam_free, point_free)
+
+
 def init_state(
     params: BAParams, index: SceneIndex, options: SolverOptions
 ) -> BAState:
@@ -175,17 +183,21 @@ def solve_ba(
     driver='while_loop': the whole solve is one device computation (no
       per-iteration host sync; used by benchmarks and the multi-chip path).
     """
-    step = make_step(index, free, options)
+    step = make_step_pure(options)
+    cam_free = flatten_camera(free)
+    point_free = free.points
 
     if driver == "while_loop":
         jit_solve = jax.jit(
-            lambda s: jax.lax.while_loop(
+            lambda s, idx, cf, pf: jax.lax.while_loop(
                 lambda st: (st.status == 0) & (st.k < options.max_iterations),
-                lambda st: step(st)[0],
+                lambda st: step(st, idx, cf, pf)[0],
                 s,
             )
         )
-        final = jit_solve(init_state(params, index, options))
+        final = jit_solve(
+            init_state(params, index, options), index, cam_free, point_free
+        )
         return BAResult(
             params=final.params, cost=final.cost,
             iterations=int(final.k), status=int(final.status),
@@ -227,7 +239,7 @@ def solve_ba(
     while int(state.status) == 0 and k < options.max_iterations:
         if time.time() - t0 > options.max_seconds:
             break
-        state, info = jit_step(state)
+        state, info = jit_step(state, index, cam_free, point_free)
         k += 1
         if options.progress_to_stdout:
             print(
