@@ -89,19 +89,22 @@ def measure(args) -> dict:
     cam_free = flatten_camera(free)
     point_free = free.points
 
+    # NOTE on timing through the axon relay: block_until_ready can return
+    # before remote execution finishes, so every timed region must end with a
+    # device->host VALUE fetch (float(...)), which cannot be satisfied early.
     state = init_state(scene.params, scene.index, options)
     t_compile = time.time()
     state = step(state, scene.index, cam_free, point_free)
-    jax.block_until_ready(state.cost)
+    float(state.cost)
     compile_s = time.time() - t_compile
-    for _ in range(args.warmup - 1):
+    for _ in range(max(args.warmup - 1, 0)):
         state = step(state, scene.index, cam_free, point_free)
-    jax.block_until_ready(state.cost)
+    float(state.cost)
 
     t0 = time.time()
     for _ in range(args.iters):
         state = step(state, scene.index, cam_free, point_free)
-    jax.block_until_ready(state.cost)
+    float(state.cost)
     dt = time.time() - t0
 
     return dict(

@@ -34,6 +34,9 @@ class SolverOptions:
     # ceres::DENSE_SCHUR) or 'iterative_schur' (matrix-free PCG on the
     # Schur complement; the at-scale TPU path)
     linear_solver: str = "dense_schur"
+    # ITERATIVE_SCHUR preconditioner: 'block_jacobi' (6x6 Hcc blocks, the
+    # Ceres SCHUR_JACOBI analogue) or 'jacobi' (scalar diagonal)
+    preconditioner: str = "block_jacobi"
     cg_max_iterations: int = 500
     cg_tolerance: float = 1e-10
     progress_to_stdout: bool = False   # minimizer_progress_to_stdout (sfm.cc:68)

@@ -167,15 +167,40 @@ def schur_matvec(
     return jnp.where(sys.cam_free > 0.5, s, v)
 
 
+def _groups(sys: SchurSystem):
+    """(ids, row-count, j_cam column slice, col offset) per structured group.
+
+    The camera vector is [ext rows | intr rows]; both the outer and inner
+    extrinsic groups land in the ext region."""
+    R, K = sys.n_ext_rows, sys.n_intr
+    return (
+        (sys.obs_outer, R, slice(0, 6), 0),
+        (sys.obs_inner, R, slice(6, 12), 0),
+        (sys.obs_intr, K, slice(12, 18), 6 * R),
+    )
+
+
 def _dense_E(sys: SchurSystem) -> jnp.ndarray:
-    """Materialize E (N, 3, C) — only for the dense (DENSE_SCHUR) path."""
+    """Materialize E (N, 3, C) with full-grid segment sums — no scatter.
+
+    For group g with R_g rows, the per-observation 3x6 coupling block
+    W = J_point^T J_cam[:, g] is segment-summed with key
+    point * R_g + id_g; the (N * R_g, 3, 6) result IS the dense per-point
+    E restricted to that group (reshape + transpose, zero actual scatter).
+    Memory is O(N * (2 * n_ext_rows + n_intr) * 18) — the dense path is for
+    moderate problems (rigs); at BAL scale use ITERATIVE_SCHUR.
+    """
     n_points = sys.g_p.shape[0]
     n_cam = sys.g_c.shape[0]
-    W = jnp.einsum("mri,mrc->mic", sys.j_point, sys.j_cam)  # (M, 3, 18)
-    idx_p = sys.obs_point[:, None, None]
-    idx_i = jnp.arange(3, dtype=jnp.int32)[None, :, None]
-    idx_c = sys.cols[:, None, :]
-    return jnp.zeros((n_points, 3, n_cam), W.dtype).at[idx_p, idx_i, idx_c].add(W)
+    E = jnp.zeros((n_points, 3, n_cam), sys.r.dtype)
+    for ids, R_g, sl, off in _groups(sys):
+        W = jnp.einsum("mri,mrc->mic", sys.j_point, sys.j_cam[:, :, sl])
+        grid = jax.ops.segment_sum(
+            W, sys.obs_point * R_g + ids, num_segments=n_points * R_g
+        ).reshape(n_points, R_g, 3, 6)
+        part = grid.transpose(0, 2, 1, 3).reshape(n_points, 3, 6 * R_g)
+        E = E.at[:, :, off: off + 6 * R_g].add(part)
+    return E
 
 
 def reduced_rhs(sys: SchurSystem, binv: jnp.ndarray) -> jnp.ndarray:
@@ -201,14 +226,62 @@ def back_substitute(
     return dp * sys.point_free
 
 
+def hcc_dense(sys: SchurSystem) -> jnp.ndarray:
+    """Hcc = sum_m A_m^T A_m materialized (C, C) via the 9 group-pair
+    full-grid segment sums (key id1 * R2 + id2 covers the whole block grid,
+    so the segment-sum output reshapes straight into the dense block matrix —
+    no arbitrary-index scatter)."""
+    n_cam = sys.g_c.shape[0]
+    hcc = jnp.zeros((n_cam, n_cam), sys.r.dtype)
+    groups = _groups(sys)
+    for ids1, R1, sl1, off1 in groups:
+        for ids2, R2, sl2, off2 in groups:
+            blocks = jnp.einsum(
+                "mri,mrj->mij", sys.j_cam[:, :, sl1], sys.j_cam[:, :, sl2]
+            )
+            grid = jax.ops.segment_sum(
+                blocks, ids1 * R2 + ids2, num_segments=R1 * R2
+            ).reshape(R1, R2, 6, 6)
+            dense = grid.transpose(0, 2, 1, 3).reshape(6 * R1, 6 * R2)
+            hcc = hcc.at[off1: off1 + 6 * R1, off2: off2 + 6 * R2].add(dense)
+    return hcc
+
+
 def dense_S(sys: SchurSystem, binv: jnp.ndarray) -> jnp.ndarray:
     """Hcc - E^T B~^-1 E materialized (C, C), WITHOUT the LM diagonal."""
-    n_cam = sys.g_c.shape[0]
     E = _dense_E(sys)
-    hcc = jnp.zeros((n_cam, n_cam), sys.r.dtype).at[
-        sys.cols[:, :, None], sys.cols[:, None, :]
-    ].add(jnp.einsum("mri,mrj->mij", sys.j_cam, sys.j_cam))
-    return hcc - jnp.einsum("pic,pij,pjd->cd", E, binv, E)
+    return hcc_dense(sys) - jnp.einsum("pic,pij,pjd->cd", E, binv, E)
+
+
+def block_jacobi_preconditioner(sys: SchurSystem, cam_aug: jnp.ndarray):
+    """6x6 block-Jacobi preconditioner from the Hcc block diagonal + LM
+    augmentation (the analogue of Ceres' JACOBI/SCHUR_JACOBI options for
+    ITERATIVE_SCHUR). Frozen coordinates get identity rows so the operator
+    stays SPD and acts as I on them."""
+    R, K = sys.n_ext_rows, sys.n_intr
+    ext = jax.ops.segment_sum(
+        jnp.einsum("mri,mrj->mij", sys.j_cam[:, :, 0:6], sys.j_cam[:, :, 0:6]),
+        sys.obs_outer, num_segments=R,
+    ) + jax.ops.segment_sum(
+        jnp.einsum("mri,mrj->mij", sys.j_cam[:, :, 6:12], sys.j_cam[:, :, 6:12]),
+        sys.obs_inner, num_segments=R,
+    )
+    intr = jax.ops.segment_sum(
+        jnp.einsum("mri,mrj->mij", sys.j_cam[:, :, 12:18], sys.j_cam[:, :, 12:18]),
+        sys.obs_intr, num_segments=K,
+    )
+    blocks = jnp.concatenate([ext, intr], axis=0)        # (R + K, 6, 6)
+    aug = cam_aug.reshape(R + K, 6)
+    frozen = 1.0 - sys.cam_free.reshape(R + K, 6)
+    eye6 = jnp.eye(6, dtype=blocks.dtype)
+    blocks = blocks + eye6 * (aug + frozen)[:, :, None]
+    inv_blocks = jnp.linalg.inv(blocks)
+
+    def precond(v):
+        vb = v.reshape(R + K, 6)
+        return jnp.einsum("bij,bj->bi", inv_blocks, vb).reshape(-1)
+
+    return precond
 
 
 def solve_schur(
@@ -225,13 +298,18 @@ def solve_schur(
         S = dense_S(sys, binv) + jnp.diag(cam_aug)
         dc = masked_spd_solve(S, rhs, sys.cam_free)
     elif options.linear_solver == "iterative_schur":
-        precond_diag = jnp.where(
-            sys.cam_free > 0.5, 1.0 / (sys.hcc_diag + cam_aug + 1e-300), 1.0
-        )
+        if options.preconditioner == "block_jacobi":
+            precond = block_jacobi_preconditioner(sys, cam_aug)
+        else:
+            precond_diag = jnp.where(
+                sys.cam_free > 0.5,
+                1.0 / (sys.hcc_diag + cam_aug + 1e-300), 1.0,
+            )
+            precond = lambda v: precond_diag * v
         result = pcg(
             lambda v: schur_matvec(sys, binv, cam_aug, v),
             rhs,
-            precond=lambda v: precond_diag * v,
+            precond=precond,
             max_iterations=options.cg_max_iterations,
             tol=options.cg_tolerance,
         )
