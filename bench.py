@@ -42,6 +42,10 @@ def parse_args(argv=None):
     p.add_argument("--measure-only", action="store_true",
                    help="print raw iter/s only (used for the CPU subprocess)")
     p.add_argument("--no-baseline", action="store_true")
+    p.add_argument("--engine", default="grid", choices=["grid", "indexed"],
+                   help="grid = dense (N x cells) rig engine (TPU-native); "
+                        "indexed = observation-list engine")
+    p.add_argument("--chunk-size", type=int, default=8192)
     return p.parse_args(argv)
 
 
@@ -75,35 +79,56 @@ def measure(args) -> dict:
     # configs run f64 on CPU separately.
     scene = from_deeparc(rig.data, dtype=jnp.float32)
     free = freeze_masks(scene)
-    options = SolverOptions(
-        linear_solver="iterative_schur",
-        cg_max_iterations=30,
-        cg_tolerance=0.0,           # fixed CG work per LM step
-        min_relative_decrease=-1.0,  # never reject: constant per-step work
-        function_tolerance=0.0, gradient_tolerance=0.0,
-        parameter_tolerance=0.0,
-    )
-    step_pure = make_step_pure(options)
-    step = jax.jit(lambda s, idx, cf, pf: step_pure(s, idx, cf, pf)[0],
-                   donate_argnums=(0,))
     cam_free = flatten_camera(free)
     point_free = free.points
+
+    if args.engine == "grid":
+        from deeparc_tpu.solver.rig_grid import (
+            grid_from_scene, init_grid_state, make_grid_step,
+        )
+
+        # exact dense Schur every step (the grid engine's native solve)
+        options = SolverOptions(
+            linear_solver="dense_schur",
+            min_relative_decrease=-1.0,  # never reject: constant per-step work
+            function_tolerance=0.0, gradient_tolerance=0.0,
+            parameter_tolerance=0.0,
+        )
+        grid = grid_from_scene(scene)
+        g_step = make_grid_step(options, scene.params, args.chunk_size)
+        step = jax.jit(lambda s, g, cf, pf: g_step(s, g, cf, pf)[0],
+                       donate_argnums=(0,))
+        state = init_grid_state(scene.params, grid, options)
+        step_args = (grid, cam_free, point_free)
+    else:
+        options = SolverOptions(
+            linear_solver="iterative_schur",
+            cg_max_iterations=30,
+            cg_tolerance=0.0,           # fixed CG work per LM step
+            min_relative_decrease=-1.0,
+            function_tolerance=0.0, gradient_tolerance=0.0,
+            parameter_tolerance=0.0,
+        )
+        step_pure = make_step_pure(options)
+        step = jax.jit(lambda s, idx, cf, pf: step_pure(s, idx, cf, pf)[0],
+                       donate_argnums=(0,))
+        state = init_state(scene.params, scene.index, options)
+        step_args = (scene.index, cam_free, point_free)
 
     # NOTE on timing through the axon relay: block_until_ready can return
     # before remote execution finishes, so every timed region must end with a
     # device->host VALUE fetch (float(...)), which cannot be satisfied early.
-    state = init_state(scene.params, scene.index, options)
     t_compile = time.time()
-    state = step(state, scene.index, cam_free, point_free)
+    state = step(state, *step_args)
     float(state.cost)
     compile_s = time.time() - t_compile
     for _ in range(max(args.warmup - 1, 0)):
-        state = step(state, scene.index, cam_free, point_free)
+        state = step(state, *step_args)
     float(state.cost)
 
     t0 = time.time()
     for _ in range(args.iters):
-        state = step(state, scene.index, cam_free, point_free)
+        state = step(state, *step_args)
     float(state.cost)
     dt = time.time() - t0
 
@@ -134,6 +159,7 @@ def cpu_baseline(args) -> float:
     cmd = [
         sys.executable, os.path.abspath(__file__), "--measure-only",
         "--platform", "cpu", "--iters", "3", "--warmup", "1",
+        "--engine", args.engine, "--chunk-size", str(args.chunk_size),
     ]
     if args.quick:
         cmd.append("--quick")
@@ -171,7 +197,7 @@ def main(argv=None) -> int:
         "vs_baseline": round(vs, 4) if vs is not None else None,
         "detail": {
             "n_obs": result["n_obs"], "n_points": result["n_points"],
-            "platform": result["platform"],
+            "platform": result["platform"], "engine": args.engine,
             "seconds_per_iter": round(result["seconds_per_iter"], 6),
             "compile_s": round(result["compile_s"], 2),
         },

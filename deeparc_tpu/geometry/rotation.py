@@ -87,6 +87,41 @@ def angle_axis_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(small[..., None], small_R, large_R)
 
 
+def cross_matrix(v: jnp.ndarray) -> jnp.ndarray:
+    """[v]_x skew-symmetric matrix (..., 3) -> (..., 3, 3)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def so3_right_jacobian(aa: jnp.ndarray) -> jnp.ndarray:
+    """Right Jacobian J_r of SO(3) at angle-axis aa (..., 3) -> (..., 3, 3).
+
+    Satisfies R(w + dw) ~ R(w) Exp(J_r(w) dw), hence
+    d(R(w) v)/dw = -R(w) [v]_x J_r(w) — the exact derivative of the global
+    angle-axis parameterization the reference optimizes (Ceres autodiffs
+    through plain angle-axis arrays; this is its closed form).
+    J_r = I - (1-cos t)/t^2 [w]_x + (t - sin t)/t^3 [w]_x^2, with the
+    t -> 0 Taylor limits 1/2 and 1/6.
+    """
+    theta2 = jnp.sum(aa * aa, axis=-1, keepdims=True)[..., None]
+    small = theta2 < 1e-12
+    t2 = jnp.where(small, 1.0, theta2)
+    t = jnp.sqrt(t2)
+    c1 = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(t)) / t2)
+    c2 = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (t - jnp.sin(t)) / (t2 * t))
+    K = cross_matrix(aa)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
+    return eye - c1 * K + c2 * (K @ K)
+
+
 def matrix_to_angle_axis(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix (..., 3, 3) -> angle-axis (..., 3).
 
