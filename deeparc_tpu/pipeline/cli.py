@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-seconds", type=float, default=3600.0)
     p.add_argument("--linear-solver", default="dense_schur",
                    choices=["dense_schur", "iterative_schur"])
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "grid", "indexed"],
+                   help="auto = dense grid engine for shared rigs")
     p.add_argument("--quiet", action="store_true")
     # filter (defaults: sfm.cc:112,122; DeepArcManager.cc:347-349,387)
     p.add_argument("--error-boundary", type=float, default=5.0)
@@ -110,6 +113,7 @@ def main(argv=None) -> int:
         ),
         hemisphere_max_iterations=args.hemisphere_iterations,
         write_snapshots=not args.no_snapshots,
+        engine=args.engine,
     )
     dtype = jnp.float32 if args.f32 else jnp.float64
     result = run_pipeline(

@@ -80,6 +80,36 @@ def _snapshot(scene: Scene, path: str) -> None:
     write_ply(path, data.points, data.colors, centers, _camera_composed_flags(scene))
 
 
+def _sync_grid_masks(scene: Scene, grid) -> Scene:
+    """Reflect grid-space masks back onto the observation-list scene (for
+    snapshots, export, and freeze-mask construction)."""
+    mask = np.asarray(grid.mask)
+    cell = (
+        scene.meta.obs_arc.astype(np.int64) * scene.meta.ring_size
+        + scene.meta.obs_ring.astype(np.int64)
+    )
+    obs_point = np.asarray(scene.index.obs_point)
+    dtype = scene.params.points.dtype
+    index = dataclasses.replace(
+        scene.index,
+        obs_mask=jnp.asarray(mask[obs_point, cell], dtype),
+        point_mask=jnp.asarray(np.asarray(grid.point_mask), dtype),
+    )
+    return dataclasses.replace(scene, index=index)
+
+
+def _write_sidecar(path, step, result, stats, t_start):
+    sidecar = {
+        "round": step, "cost": float(result.cost),
+        "iterations": result.iterations, "status": result.status,
+        "obs_alive": int(stats.obs_alive),
+        "points_alive": int(stats.points_alive),
+        "elapsed_s": time.time() - t_start,
+    }
+    with open(path, "w") as f:
+        json.dump(sidecar, f, indent=2)
+
+
 def rmse_px(scene: Scene) -> float:
     r = residuals(scene.params, scene.index)
     n = float(np.maximum(np.asarray(jnp.sum(scene.index.obs_mask)), 1.0))
@@ -115,46 +145,103 @@ def run_pipeline(
     if output_dir and options.write_snapshots:
         _snapshot(scene, out(f"{basename}_init.ply"))
 
-    # points-only pre-solve (freeze_camera=true; sfm.cc:111)
-    free_frozen = freeze_masks(scene, freeze_camera=True)
-    result = solve_ba(scene.params, scene.index, free_frozen, options.solver)
-    scene = dataclasses.replace(scene, params=result.params)
-    log(f"[deeparc] freeze-camera solve: cost={float(result.cost):.6e} "
-        f"iters={result.iterations}")
+    use_grid = options.engine == "grid" or (
+        options.engine == "auto" and scene.meta.share_extrinsic
+    )
+    if use_grid:
+        from deeparc_tpu.pipeline.filtering import FilterStats, filter_masks_grid
+        from deeparc_tpu.solver.rig_grid import grid_from_scene, solve_ba_grid
 
-    scene, stats = filter_outliers(scene, hemi[:3], hemi[3], options.filter)
-    log(f"block: {int(stats.obs_alive)}")
-    log(f"point3d: {int(stats.points_alive)}")
+        grid = grid_from_scene(scene)
+        log(f"[deeparc] engine=grid ({grid.xy.shape[1]} cells, "
+            f"{float(jnp.mean(grid.mask)) * 100:.1f}% grid density)")
 
-    step = 0
-    if output_dir and options.write_snapshots:
-        _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
+        def run_solve(free):
+            res = solve_ba_grid(scene.params, grid, free, options.solver)
+            return res
 
-    # solve-filter loop until the point count stabilizes (sfm.cc:118-127)
-    old_points, current_points = -1, int(stats.points_alive)
-    while current_points != old_points and step < options.max_filter_rounds:
-        step += 1
-        old_points = current_points
-        scene = compact(scene, obs_bucket=1024, point_bucket=256)
-        free = freeze_masks(scene)
-        result = solve_ba(scene.params, scene.index, free, options.solver)
+        def run_filter():
+            mask, pmask = filter_masks_grid(
+                scene.params, grid,
+                jnp.asarray(hemi[:3], scene.params.points.dtype),
+                float(hemi[3]), options.filter,
+            )
+            new_grid = grid._replace(mask=mask, point_mask=pmask)
+            stats = FilterStats(
+                obs_alive=jnp.sum(mask).astype(jnp.int32),
+                points_alive=jnp.sum(pmask).astype(jnp.int32),
+            )
+            return new_grid, stats
+
+        def point_free_of(free):
+            return dataclasses.replace(
+                free, points=free.points * grid.point_mask[:, None]
+            )
+
+        free_frozen = point_free_of(freeze_masks(scene, freeze_camera=True))
+        result = run_solve(free_frozen)
         scene = dataclasses.replace(scene, params=result.params)
-        scene, stats = filter_outliers(scene, hemi[:3], hemi[3], options.filter)
-        current_points = int(stats.points_alive)
+        log(f"[deeparc] freeze-camera solve: cost={float(result.cost):.6e} "
+            f"iters={result.iterations}")
+        grid, stats = run_filter()
         log(f"block: {int(stats.obs_alive)}")
-        log(f"point3d: {current_points}")
+        log(f"point3d: {int(stats.points_alive)}")
+        scene = _sync_grid_masks(scene, grid)
+
+        step = 0
         if output_dir and options.write_snapshots:
             _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
-        if output_dir:
-            sidecar = {
-                "round": step, "cost": float(result.cost),
-                "iterations": result.iterations, "status": result.status,
-                "obs_alive": int(stats.obs_alive),
-                "points_alive": current_points,
-                "elapsed_s": time.time() - t_start,
-            }
-            with open(out(f"{basename}_state.json"), "w") as f:
-                json.dump(sidecar, f, indent=2)
+        old_points, current_points = -1, int(stats.points_alive)
+        while current_points != old_points and step < options.max_filter_rounds:
+            step += 1
+            old_points = current_points
+            free = point_free_of(freeze_masks(scene))
+            result = run_solve(free)
+            scene = dataclasses.replace(scene, params=result.params)
+            grid, stats = run_filter()
+            scene = _sync_grid_masks(scene, grid)
+            current_points = int(stats.points_alive)
+            log(f"block: {int(stats.obs_alive)}")
+            log(f"point3d: {current_points}")
+            if output_dir and options.write_snapshots:
+                _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
+            if output_dir:
+                _write_sidecar(out(f"{basename}_state.json"), step, result,
+                               stats, t_start)
+    else:
+        # points-only pre-solve (freeze_camera=true; sfm.cc:111)
+        free_frozen = freeze_masks(scene, freeze_camera=True)
+        result = solve_ba(scene.params, scene.index, free_frozen, options.solver)
+        scene = dataclasses.replace(scene, params=result.params)
+        log(f"[deeparc] freeze-camera solve: cost={float(result.cost):.6e} "
+            f"iters={result.iterations}")
+
+        scene, stats = filter_outliers(scene, hemi[:3], hemi[3], options.filter)
+        log(f"block: {int(stats.obs_alive)}")
+        log(f"point3d: {int(stats.points_alive)}")
+
+        step = 0
+        if output_dir and options.write_snapshots:
+            _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
+
+        # solve-filter loop until the point count stabilizes (sfm.cc:118-127)
+        old_points, current_points = -1, int(stats.points_alive)
+        while current_points != old_points and step < options.max_filter_rounds:
+            step += 1
+            old_points = current_points
+            scene = compact(scene, obs_bucket=1024, point_bucket=256)
+            free = freeze_masks(scene)
+            result = solve_ba(scene.params, scene.index, free, options.solver)
+            scene = dataclasses.replace(scene, params=result.params)
+            scene, stats = filter_outliers(scene, hemi[:3], hemi[3], options.filter)
+            current_points = int(stats.points_alive)
+            log(f"block: {int(stats.obs_alive)}")
+            log(f"point3d: {current_points}")
+            if output_dir and options.write_snapshots:
+                _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
+            if output_dir:
+                _write_sidecar(out(f"{basename}_state.json"), step, result,
+                               stats, t_start)
 
     log(f"TOTAL REPEAT: {step}")
     scene = compact(scene)

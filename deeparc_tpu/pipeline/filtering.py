@@ -95,3 +95,39 @@ def filter_outliers(
         points_alive=jnp.sum(point_mask).astype(jnp.int32),
     )
     return dataclasses.replace(scene, index=index), stats
+
+
+def filter_masks_grid(
+    params: BAParams,
+    grid,
+    hemisphere_center: jnp.ndarray,
+    hemisphere_radius,
+    options: FilterOptions = FilterOptions(),
+):
+    """Grid-space filterPoint3d: returns (grid_mask', point_mask').
+
+    Same semantics as :func:`filter_masks` but evaluated on the dense
+    (points x cells) grid — mask updates only, so repeated filter rounds
+    never change array shapes (zero recompiles, unlike the reference's
+    erase passes).
+    """
+    from deeparc_tpu.solver.rig_grid import grid_residuals, slot_params
+
+    sp = slot_params(params, grid)
+    r = grid_residuals(params.points, sp, grid)
+    mse = 0.5 * jnp.sum(r * r, axis=-1)          # (N, T)
+    if options.parity_inverted:
+        bad = (mse < options.error_boundary) & (grid.mask > 0.5)
+    else:
+        bad = mse > options.error_boundary
+    mask = grid.mask * (1.0 - bad.astype(grid.mask.dtype))
+
+    point_mask = grid.point_mask * (jnp.sum(mask, axis=1) > 0)
+    if options.hemisphere_cut:
+        d2 = jnp.sum(
+            (params.points - hemisphere_center[None, :]) ** 2, axis=-1
+        )
+        far = d2 > hemisphere_radius / 2.0
+        point_mask = point_mask * (1.0 - far.astype(point_mask.dtype))
+    mask = mask * point_mask[:, None]
+    return mask, point_mask

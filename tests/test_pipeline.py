@@ -127,3 +127,29 @@ def test_cli_smoke(tmp_path, capsys):
     captured = capsys.readouterr()
     assert "done:" in captured.out
     assert (tmp_path / "synthetic_output.deeparc").exists()
+
+
+def test_grid_and_indexed_pipelines_agree(tmp_path):
+    import dataclasses as dc
+
+    rig = make_hemisphere_rig(
+        n_arc=3, n_ring=5, n_points=80, pixel_noise=0.6, point_noise=0.04,
+        seed=41,
+    )
+    base = PipelineOptions(
+        solver=SolverOptions(max_iterations=25, progress_to_stdout=False),
+        write_snapshots=False,
+    )
+    res_grid = run_pipeline(
+        rig.data, dc.replace(base, engine="grid"), verbose=False
+    )
+    res_idx = run_pipeline(
+        rig.data, dc.replace(base, engine="indexed"), verbose=False
+    )
+    assert res_grid.filter_rounds == res_idx.filter_rounds
+    np.testing.assert_allclose(
+        res_grid.final_rmse_px, res_idx.final_rmse_px, rtol=1e-5
+    )
+    n_grid = int(np.asarray(res_grid.scene.index.point_mask).sum())
+    n_idx = int(np.asarray(res_idx.scene.index.point_mask).sum())
+    assert n_grid == n_idx
