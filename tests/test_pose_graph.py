@@ -1,0 +1,103 @@
+"""Pose-graph refinement and BFS incremental BA tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from deeparc_tpu.config import PipelineOptions, SolverOptions
+from deeparc_tpu.geometry.rotation import angle_axis_to_matrix
+from deeparc_tpu.io import make_hemisphere_rig
+from deeparc_tpu.pipeline.incremental import bfs_cell_order, run_incremental
+from deeparc_tpu.residuals.pose_graph import (
+    PoseGraph,
+    pose_graph_residuals,
+    relative_pose,
+    solve_pose_graph,
+)
+
+
+def _random_poses(rng, n):
+    rot = rng.normal(scale=0.5, size=(n, 3))
+    trans = rng.normal(scale=1.0, size=(n, 3))
+    return np.concatenate([rot, trans], axis=1)
+
+
+def _make_graph(poses, edges):
+    i, j = edges[:, 0], edges[:, 1]
+    rot = jnp.asarray(poses[:, :3])
+    trans = jnp.asarray(poses[:, 3:])
+    meas_rot, meas_trans = relative_pose(rot[i], trans[i], rot[j], trans[j])
+    return PoseGraph(
+        edges=jnp.asarray(edges, jnp.int32),
+        meas_rot=meas_rot, meas_trans=meas_trans,
+    )
+
+
+def test_pose_graph_residuals_zero_at_truth():
+    rng = np.random.default_rng(0)
+    poses = _random_poses(rng, 6)
+    edges = np.array([[i, (i + 1) % 6] for i in range(6)] + [[0, 3]])
+    graph = _make_graph(poses, edges)
+    r = pose_graph_residuals(jnp.asarray(poses.reshape(-1)), graph)
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-10)
+
+
+def test_pose_graph_recovers_perturbed_poses():
+    rng = np.random.default_rng(1)
+    n = 8
+    poses = _random_poses(rng, n)
+    # chain + loop closures: odometry-style graph
+    edges = np.array(
+        [[i, i + 1] for i in range(n - 1)]
+        + [[0, n - 1], [0, n // 2], [2, n - 2]]
+    )
+    graph = _make_graph(poses, edges)
+    noisy = poses.copy()
+    noisy[1:] += rng.normal(scale=0.05, size=(n - 1, 6))
+    anchor = np.zeros(n, dtype=bool)
+    anchor[0] = True  # gauge
+    refined = solve_pose_graph(jnp.asarray(noisy), graph, jnp.asarray(anchor))
+    r = pose_graph_residuals(refined.reshape(-1), graph)
+    assert float(jnp.max(jnp.abs(r))) < 1e-8
+    np.testing.assert_allclose(np.asarray(refined), poses, atol=1e-6)
+
+
+def test_pose_graph_anchor_respected():
+    rng = np.random.default_rng(2)
+    poses = _random_poses(rng, 5)
+    edges = np.array([[i, (i + 1) % 5] for i in range(5)])
+    graph = _make_graph(poses, edges)
+    noisy = poses + rng.normal(scale=0.03, size=poses.shape)
+    anchor = np.zeros(5, dtype=bool)
+    anchor[0] = True
+    refined = solve_pose_graph(jnp.asarray(noisy), graph, jnp.asarray(anchor))
+    np.testing.assert_array_equal(np.asarray(refined[0]), noisy[0])
+
+
+def test_bfs_order_visits_all_cells_covisibility_first():
+    rig = make_hemisphere_rig(n_arc=3, n_ring=6, n_points=60, seed=5)
+    from deeparc_tpu.scene import from_deeparc
+    from deeparc_tpu.solver.rig_grid import grid_from_scene
+
+    scene = from_deeparc(rig.data)
+    grid = grid_from_scene(scene)
+    mask = np.asarray(grid.mask)
+    order = bfs_cell_order(mask, mask.shape[1], start=0)
+    assert sorted(order.tolist()) == list(range(mask.shape[1]))
+    assert order[0] == 0
+
+
+def test_incremental_converges_to_batch_quality():
+    rig = make_hemisphere_rig(
+        n_arc=3, n_ring=6, n_points=80, pixel_noise=0.5, point_noise=0.04,
+        seed=6,
+    )
+    opts = PipelineOptions(
+        solver=SolverOptions(max_iterations=15, progress_to_stdout=False)
+    )
+    result = run_incremental(rig.data, opts, verbose=False)
+    assert result.batches >= 2
+    # full-problem quality: noise floor ~ sqrt(2)*0.5
+    assert result.final_rmse_px < 1.0
+    assert len(result.history) == result.batches
+    costs = [h["cost"] for h in result.history]
+    assert all(np.isfinite(costs))
