@@ -74,18 +74,26 @@ def measure(args) -> dict:
     from deeparc_tpu.solver.ba import init_state, make_step_pure
 
     cfg = build_config(args)
-    rig = make_hemisphere_rig(**cfg)
-    # f32 on accelerators (f64 is software-emulated on TPU); the accuracy
-    # configs run f64 on CPU separately.
-    scene = from_deeparc(rig.data, dtype=jnp.float32)
-    free = freeze_masks(scene)
-    cam_free = flatten_camera(free)
-    point_free = free.points
 
     if args.engine == "grid":
-        from deeparc_tpu.solver.rig_grid import (
-            grid_from_scene, init_grid_state, make_grid_step,
+        from deeparc_tpu.io.synthetic import make_grid_rig_device
+        from deeparc_tpu.solver.rig_grid import init_grid_state, make_grid_step
+
+        # device-side problem synthesis: only tiny camera tables cross the
+        # host->device boundary (a tunneled TPU uploads at ~MB/s)
+        params, grid, _ = make_grid_rig_device(
+            n_arc=cfg["n_arc"], n_ring=cfg["n_ring"],
+            n_points=cfg["n_points"], visibility=cfg["visibility"],
+            pixel_noise=cfg["pixel_noise"], point_noise=cfg["point_noise"],
+            seed=cfg["seed"], dtype=jnp.float32,
         )
+        n_ext_rows = params.ext_rot.shape[0]
+        cam_free = jnp.ones(6 * n_ext_rows + 6 * params.center.shape[0],
+                            jnp.float32)
+        cam_free = cam_free.at[: 6].set(0.0)                  # gauge ext 0
+        cam_free = cam_free.at[6 * (n_ext_rows - 1): 6 * n_ext_rows].set(0.0)
+        cam_free = cam_free.at[6 * n_ext_rows:].set(0.0)      # intrinsics
+        point_free = jnp.ones_like(params.points)
 
         # exact dense Schur every step (the grid engine's native solve)
         options = SolverOptions(
@@ -94,13 +102,22 @@ def measure(args) -> dict:
             function_tolerance=0.0, gradient_tolerance=0.0,
             parameter_tolerance=0.0,
         )
-        grid = grid_from_scene(scene)
-        g_step = make_grid_step(options, scene.params, args.chunk_size)
+        g_step = make_grid_step(options, params, args.chunk_size)
         step = jax.jit(lambda s, g, cf, pf: g_step(s, g, cf, pf)[0],
                        donate_argnums=(0,))
-        state = init_grid_state(scene.params, grid, options)
+        state = init_grid_state(params, grid, options)
         step_args = (grid, cam_free, point_free)
+        n_obs_real = int(jnp.sum(grid.mask))
+        n_points_real = cfg["n_points"]
     else:
+        rig = make_hemisphere_rig(**cfg)
+        # f32 on accelerators (f64 is software-emulated on TPU)
+        scene = from_deeparc(rig.data, dtype=jnp.float32)
+        free = freeze_masks(scene)
+        cam_free = flatten_camera(free)
+        point_free = free.points
+        n_obs_real = scene.n_obs
+        n_points_real = scene.n_points
         options = SolverOptions(
             linear_solver="iterative_schur",
             cg_max_iterations=30,
@@ -136,8 +153,8 @@ def measure(args) -> dict:
         iters_per_sec=args.iters / dt,
         seconds_per_iter=dt / args.iters,
         compile_s=compile_s,
-        n_obs=scene.n_obs,
-        n_points=scene.n_points,
+        n_obs=n_obs_real,
+        n_points=n_points_real,
         platform=jax.devices()[0].platform,
         device=str(jax.devices()[0]),
         final_cost=float(state.cost),

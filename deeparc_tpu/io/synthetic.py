@@ -217,3 +217,128 @@ def make_hemisphere_rig(
         data=data, gt_points=gt_points, gt_ext_rot=ext_rot,
         gt_ext_trans=ext_trans, image_size=image_size,
     )
+
+
+def make_grid_rig_device(
+    n_arc: int = 8,
+    n_ring: int = 24,
+    n_points: int = 400_000,
+    rho: float = 2.0,
+    object_radius: float = 0.4,
+    focal: float = 1000.0,
+    image_size: tuple = (1600, 1200),
+    pixel_noise: float = 1.0,
+    point_noise: float = 0.02,
+    visibility: float = None,
+    seed: int = 0,
+    dtype=None,
+):
+    """Device-side synthetic rig directly in the dense-grid layout.
+
+    Builds the same turntable rig as :func:`make_hemisphere_rig` but
+    synthesizes the (N, T) observation grid ON the accelerator with jax
+    PRNG + the grid projection kernels — only the tiny camera tables cross
+    the host->device boundary. This exists because benchmark-scale problems
+    (hundreds of MB of observations) are expensive to upload through a
+    tunneled device, and because it exercises the exact compute path the
+    solver uses.
+
+    Returns (params: BAParams, grid: GridIndex, gt_points (N, 3) jnp).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deeparc_tpu.scene import BAParams
+    from deeparc_tpu.solver.rig_grid import GridIndex, slot_params
+
+    dtype = dtype or jnp.float32
+    # host: tiny tables (same construction as make_hemisphere_rig)
+    host = make_hemisphere_rig(
+        n_arc=n_arc, n_ring=n_ring, n_points=8, rho=rho,
+        object_radius=object_radius, focal=focal, image_size=image_size,
+        seed=seed,
+    )
+    d = host.data
+    identity_pad = np.zeros((1, 3))
+    params_gt = BAParams(
+        points=jnp.zeros((n_points, 3), dtype),  # placeholder
+        ext_rot=jnp.asarray(np.concatenate([d.ext_rot, identity_pad]), dtype),
+        ext_trans=jnp.asarray(
+            np.concatenate([d.ext_trans, identity_pad]), dtype
+        ),
+        center=jnp.asarray(d.center, dtype),
+        focal=jnp.asarray(d.focal, dtype),
+        dist=jnp.asarray(d.dist, dtype),
+    )
+
+    T = n_arc * n_ring
+    arc = np.repeat(np.arange(n_arc), n_ring)
+    ring = np.tile(np.arange(n_ring), n_arc)
+    ring_rec = np.where(ring == 0, 0, ring + n_arc - 1)
+    identity = d.n_extrinsics
+    outer = np.where(ring == 0, arc, np.where(arc == 0, ring_rec, arc))
+    inner = np.where((ring == 0) | (arc == 0), identity, ring_rec)
+    intr = arc
+
+    def onehot(ids, n):
+        out = np.zeros((T, n))
+        out[np.arange(T), ids] = 1.0
+        return out
+
+    K = d.n_intrinsics
+    grid = GridIndex(
+        xy=jnp.zeros((n_points, T, 2), dtype),
+        mask=jnp.ones((n_points, T), dtype),
+        point_mask=jnp.ones((n_points,), dtype),
+        slot_outer=jnp.asarray(outer, jnp.int32),
+        slot_inner=jnp.asarray(inner, jnp.int32),
+        slot_intr=jnp.asarray(intr, jnp.int32),
+        onehot_outer=jnp.asarray(onehot(outer, identity + 1), dtype),
+        onehot_inner=jnp.asarray(onehot(inner, identity + 1), dtype),
+        onehot_intr=jnp.asarray(onehot(intr, K), dtype),
+        focal_shared=jnp.asarray((d.focal_size == 1)[intr], dtype),
+        dist_m1=jnp.asarray((d.dist_size >= 1)[intr], dtype),
+        dist_m2=jnp.asarray((d.dist_size == 2)[intr], dtype),
+    )
+
+    @jax.jit
+    def synthesize(key):
+        from deeparc_tpu.solver.rig_grid import grid_residuals
+
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        direction = jax.random.normal(k1, (n_points, 3), dtype)
+        direction = direction / jnp.maximum(
+            jnp.linalg.norm(direction, axis=1, keepdims=True), 1e-9
+        )
+        radii = object_radius * jnp.cbrt(
+            jax.random.uniform(k2, (n_points, 1), dtype)
+        )
+        gt_points = jnp.asarray([0.0, 0.0, rho], dtype) + direction * radii
+
+        sp = slot_params(params_gt, grid)
+        pred = grid_residuals(gt_points, sp, grid)  # xy=0, mask=1 -> pred
+        w, h = image_size
+        z_ok = True  # points are in front of every rig camera by construction
+        in_img = (
+            (pred[..., 0] >= 0) & (pred[..., 0] < w)
+            & (pred[..., 1] >= 0) & (pred[..., 1] < h)
+        )
+        mask = in_img.astype(dtype)
+        if visibility is not None:
+            keep = jax.random.uniform(k3, mask.shape) < visibility
+            mask = mask * keep.astype(dtype)
+        xy = pred + pixel_noise * jax.random.normal(k4, pred.shape, dtype)
+        xy = xy * mask[..., None]
+        init_points = gt_points + point_noise * jax.random.normal(
+            jax.random.fold_in(key, 7), gt_points.shape, dtype
+        )
+        return gt_points, init_points, xy, mask
+
+    gt_points, init_points, xy, mask = synthesize(
+        jax.random.PRNGKey(seed)
+    )
+    import dataclasses as _dc
+
+    params = _dc.replace(params_gt, points=init_points)
+    grid = grid._replace(xy=xy, mask=mask)
+    return params, grid, gt_points
