@@ -40,6 +40,10 @@ class SolverOptions:
     cg_max_iterations: int = 500
     cg_tolerance: float = 1e-10
     progress_to_stdout: bool = False   # minimizer_progress_to_stdout (sfm.cc:68)
+    # robust loss: 'trivial' (the reference's NULL loss, sfm.cc:48), 'cauchy'
+    # (its commented-out CauchyLoss(0.5), sfm.cc:49), or 'huber'
+    loss: str = "trivial"
+    loss_scale: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

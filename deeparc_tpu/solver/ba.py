@@ -24,14 +24,24 @@ import jax.numpy as jnp
 
 from deeparc_tpu.config import SolverOptions
 from deeparc_tpu.residuals.reprojection import (
-    cost as cost_fn,
     flatten_camera,
     jacobian_blocks,
+    residuals as residuals_fn,
     unflatten_camera,
 )
+from deeparc_tpu.residuals.reprojection import ObsJacobians
 from deeparc_tpu.scene import BAParams, SceneIndex
 from deeparc_tpu.solver import trust_region as tr_mod
+from deeparc_tpu.solver.loss import rho as loss_rho, weight as loss_weight
 from deeparc_tpu.solver.schur import build_system, j_times, solve_schur
+
+
+def robust_cost(params, index, options: SolverOptions):
+    """0.5 * sum rho(||r||^2) — the robustified objective (== plain cost for
+    the trivial loss, the reference's NULL loss at sfm.cc:48)."""
+    r = residuals_fn(params, index)
+    s = jnp.sum(r * r, axis=-1)
+    return 0.5 * jnp.sum(loss_rho(s, options.loss, options.loss_scale))
 
 
 class BAState(NamedTuple):
@@ -80,6 +90,14 @@ def make_step_pure(options: SolverOptions):
         n_points = point_free.shape[0]
         params = state.params
         blocks = jacobian_blocks(params, index)
+        if options.loss != "trivial":
+            s = jnp.sum(blocks.r * blocks.r, axis=-1)
+            w = loss_weight(s, options.loss, options.loss_scale)
+            blocks = ObsJacobians(
+                r=blocks.r * w[:, None],
+                j_point=blocks.j_point * w[:, None, None],
+                j_cam=blocks.j_cam * w[:, None, None],
+            )
         sys = build_system(
             blocks.r, blocks.j_point, blocks.j_cam, index,
             n_points, params.ext_rot.shape[0], params.center.shape[0],
@@ -90,7 +108,7 @@ def make_step_pure(options: SolverOptions):
         mcc = tr_mod.model_cost_change(j_dx, sys.r)
 
         trial = _apply_step(params, dp, dc)
-        new_cost = cost_fn(trial, index)
+        new_cost = robust_cost(trial, index, options)
         rho = (state.cost - new_cost) / jnp.maximum(mcc, 1e-300)
         accept = (mcc > 0) & (rho > options.min_relative_decrease)
 
@@ -156,7 +174,7 @@ def init_state(
     dtype = params.points.dtype
     return BAState(
         params=params,
-        cost=cost_fn(params, index),
+        cost=robust_cost(params, index, options),
         tr=tr_mod.init_tr(options.initial_radius, dtype),
         k=jnp.asarray(0),
         status=jnp.asarray(0),
@@ -217,7 +235,7 @@ def solve_ba(
             )
             state = BAState(
                 params=ck_params,
-                cost=cost_fn(ck_params, index),
+                cost=robust_cost(ck_params, index, options),
                 tr=tr_mod.TRState(
                     radius=jnp.asarray(scal["radius"], params.points.dtype),
                     decrease_factor=jnp.asarray(

@@ -310,6 +310,8 @@ def assemble_grid_system(
     cam_free: jnp.ndarray,
     point_free: jnp.ndarray,
     chunk_size: int = 8192,
+    loss: str = "trivial",
+    loss_scale: float = 0.5,
 ) -> GridSystem:
     """Linearize + accumulate normal-equation pieces, chunked over points.
 
@@ -341,17 +343,30 @@ def assemble_grid_system(
     pfree_p = jnp.concatenate([point_free, jnp.zeros((pad, 3), dtype)])
 
     def chunk_fn(args):
+        from deeparc_tpu.solver.loss import rho as loss_rho, weight as loss_weight
+
         pts, xy, msk, pfree = args
         g = grid._replace(xy=xy, mask=msk)
         blocks = grid_jacobians(pts, sp, g)
+        raw_s = jnp.sum(blocks.r * blocks.r, axis=-1)
+        if loss != "trivial":
+            w = loss_weight(raw_s, loss, loss_scale)[..., None]
+            blocks = GridBlocks(
+                r=blocks.r * w,
+                j_x=blocks.j_x * w[..., None],
+                j_wo=blocks.j_wo * w[..., None],
+                j_to=blocks.j_to * w[..., None],
+                j_wi=blocks.j_wi * w[..., None],
+                j_ti=blocks.j_ti * w[..., None],
+                j_intr=blocks.j_intr * w[..., None],
+            )
         j_x = blocks.j_x * pfree[:, None, None, :]
         outer, inner, intr = _cam_groups(blocks)
         outer = outer * free_outer[None, :, None, :]
         inner = inner * free_inner[None, :, None, :]
         intr = intr * free_intr[None, :, None, :]
         r = blocks.r
-
-        cost = 0.5 * jnp.sum(r * r)
+        cost = 0.5 * jnp.sum(loss_rho(raw_s, loss, loss_scale) * msk)
         g_p = jnp.einsum("ptki,ptk->pi", j_x, r)
         hpp = jnp.einsum("ptki,ptkj->pij", j_x, j_x)
 
@@ -420,8 +435,9 @@ def assemble_grid_system(
 def grid_cost(
     points: jnp.ndarray, sp: SlotParams, grid: GridIndex,
     chunk_size: int = 16384,
+    loss: str = "trivial", loss_scale: float = 0.5,
 ) -> jnp.ndarray:
-    """Residual-only cost pass (trial evaluation), chunked."""
+    """Residual-only (robustified) cost pass (trial evaluation), chunked."""
     N = points.shape[0]
     T = grid.xy.shape[1]
     dtype = points.dtype
@@ -433,9 +449,12 @@ def grid_cost(
     mask_p = jnp.concatenate([grid.mask, jnp.zeros((pad, T), dtype)])
 
     def chunk_fn(args):
+        from deeparc_tpu.solver.loss import rho as loss_rho
+
         pts, xy, msk = args
         r = grid_residuals(pts, sp, grid._replace(xy=xy, mask=msk))
-        return 0.5 * jnp.sum(r * r)
+        s = jnp.sum(r * r, axis=-1)
+        return 0.5 * jnp.sum(loss_rho(s, loss, loss_scale) * msk)
 
     shaped = lambda a: a.reshape((n_chunks, chunk_size) + a.shape[1:])
     costs = jax.lax.map(chunk_fn, (shaped(points_p), shaped(xy_p), shaped(mask_p)))
@@ -480,7 +499,8 @@ def make_grid_step(options: SolverOptions, template: BAParams,
         params = _params_from(state.cam_vec, state.points, template)
         sp = slot_params(params, grid)
         sys = assemble_grid_system(
-            state.points, sp, grid, cam_free, point_free, chunk_size
+            state.points, sp, grid, cam_free, point_free, chunk_size,
+            options.loss, options.loss_scale,
         )
 
         # augmented per-point blocks
@@ -521,7 +541,10 @@ def make_grid_step(options: SolverOptions, template: BAParams,
         new_points = state.points + dp
         new_cam = state.cam_vec + dc
         trial_params = _params_from(new_cam, new_points, template)
-        new_cost = grid_cost(new_points, slot_params(trial_params, grid), grid)
+        new_cost = grid_cost(
+            new_points, slot_params(trial_params, grid), grid,
+            loss=options.loss, loss_scale=options.loss_scale,
+        )
 
         rho = (state.cost - new_cost) / jnp.maximum(mcc, 1e-300)
         accept = (mcc > 0) & (rho > options.min_relative_decrease)
@@ -579,7 +602,8 @@ def init_grid_state(
     return GridState(
         points=params.points,
         cam_vec=flatten_cam_tables(params),
-        cost=grid_cost(params.points, sp, grid),
+        cost=grid_cost(params.points, sp, grid,
+                       loss=options.loss, loss_scale=options.loss_scale),
         tr=tr_mod.init_tr(options.initial_radius, dtype),
         k=jnp.asarray(0),
         status=jnp.asarray(0),

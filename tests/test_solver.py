@@ -224,3 +224,46 @@ def test_while_loop_driver_matches_python_driver():
     np.testing.assert_allclose(
         np.asarray(a.params.points), np.asarray(b.params.points), atol=1e-12
     )
+
+
+def test_cauchy_loss_downweights_outliers():
+    """Robust loss (the reference's commented-out CauchyLoss, sfm.cc:49):
+    with corrupted observations, cauchy recovers structure closer to ground
+    truth than the trivial loss."""
+    rig = make_hemisphere_rig(
+        n_arc=3, n_ring=5, n_points=40, pixel_noise=0.2, point_noise=0.03,
+        seed=55,
+    )
+    # corrupt 5% of observations badly
+    rng = np.random.default_rng(0)
+    bad = rng.choice(rig.data.n_obs, size=rig.data.n_obs // 20, replace=False)
+    rig.data.obs_xy[bad] += 80.0
+    scene = from_deeparc(rig.data)
+    free = freeze_masks(scene, freeze_camera=True)  # unique minimum
+
+    plain = solve_ba(
+        scene.params, scene.index, free, SolverOptions(max_iterations=40)
+    )
+    robust = solve_ba(
+        scene.params, scene.index, free,
+        SolverOptions(max_iterations=40, loss="cauchy", loss_scale=2.0),
+    )
+    err_plain = np.linalg.norm(np.asarray(plain.params.points) - rig.gt_points, axis=1)
+    err_robust = np.linalg.norm(np.asarray(robust.params.points) - rig.gt_points, axis=1)
+    assert np.median(err_robust) < np.median(err_plain)
+
+
+def test_grid_engine_robust_loss_matches_indexed():
+    from deeparc_tpu.solver.rig_grid import grid_from_scene, solve_ba_grid
+
+    rig = make_hemisphere_rig(
+        n_arc=3, n_ring=5, n_points=30, pixel_noise=1.0, point_noise=0.03,
+        seed=56,
+    )
+    scene = from_deeparc(rig.data)
+    free = freeze_masks(scene)
+    opts = SolverOptions(max_iterations=20, loss="huber", loss_scale=1.5)
+    a = solve_ba(scene.params, scene.index, free, opts)
+    grid = grid_from_scene(scene)
+    b = solve_ba_grid(scene.params, grid, free, opts, chunk_size=16)
+    np.testing.assert_allclose(float(b.cost), float(a.cost), rtol=1e-7)
