@@ -303,6 +303,38 @@ def _cam_groups(blocks: GridBlocks):
     return outer, inner, blocks.j_intr
 
 
+def _bin_slot_system(g_slots, hcc_slots, grid, C, dtype):
+    """Fold per-slot (T, 18) / (T, 18, 18) pieces into the flat camera
+    gradient (C,) and dense H_cc (C, C) via the one-hot bin matrices."""
+    R_rows = grid.onehot_outer.shape[1]
+    g_ext = (
+        jnp.einsum("tr,tj->rj", grid.onehot_outer, g_slots[:, 0:6])
+        + jnp.einsum("tr,tj->rj", grid.onehot_inner, g_slots[:, 6:12])
+    )
+    g_c = jnp.concatenate([
+        g_ext.reshape(-1),
+        jnp.einsum("tk,tj->kj", grid.onehot_intr, g_slots[:, 12:18])
+        .reshape(-1),
+    ])
+    groups = (
+        (grid.onehot_outer, slice(0, 6), 0),
+        (grid.onehot_inner, slice(6, 12), 0),
+        (grid.onehot_intr, slice(12, 18), 6 * R_rows),
+    )
+    hcc = jnp.zeros((C, C), dtype)
+    for oh_a, sl_a, off_a in groups:
+        Ra = oh_a.shape[1]
+        for oh_b, sl_b, off_b in groups:
+            Rb = oh_b.shape[1]
+            dense = jnp.einsum(
+                "tij,tu,tv->uivj", hcc_slots[:, sl_a, sl_b], oh_a, oh_b
+            ).reshape(6 * Ra, 6 * Rb)
+            hcc = hcc.at[
+                off_a: off_a + 6 * Ra, off_b: off_b + 6 * Rb
+            ].add(dense)
+    return g_c, hcc
+
+
 def assemble_grid_system(
     points: jnp.ndarray,
     sp: SlotParams,
@@ -312,11 +344,16 @@ def assemble_grid_system(
     chunk_size: int = 8192,
     loss: str = "trivial",
     loss_scale: float = 0.5,
+    impl: str = "planes",
 ) -> GridSystem:
     """Linearize + accumulate normal-equation pieces, chunked over points.
 
     The (C,) free mask is applied by zeroing camera Jacobian groups per
     column; the (N, 3) point mask by zeroing j_x.
+
+    ``impl`` selects the linearization kernel: "planes" (structure-of-arrays
+    (N, T) planes — the TPU-fast path, see rig_planes.py) or "einsum" (the
+    reference formulation carrying (N, T, 2, 3) blocks).
     """
     N = points.shape[0]
     T = grid.xy.shape[1]
@@ -342,7 +379,7 @@ def assemble_grid_system(
     mask_p = jnp.concatenate([grid.mask, jnp.zeros((pad, T), dtype)])
     pfree_p = jnp.concatenate([point_free, jnp.zeros((pad, 3), dtype)])
 
-    def chunk_fn(args):
+    def chunk_fn_einsum(args):
         from deeparc_tpu.solver.loss import rho as loss_rho, weight as loss_weight
 
         pts, xy, msk, pfree = args
@@ -370,38 +407,14 @@ def assemble_grid_system(
         g_p = jnp.einsum("ptki,ptk->pi", j_x, r)
         hpp = jnp.einsum("ptki,ptkj->pij", j_x, j_x)
 
-        # camera gradient: per-slot then one-hot binned (all tiny)
+        # camera side: per-slot gradient + 18x18 Gram, then one-hot binned
         g_out = jnp.einsum("ptkj,ptk->tj", outer, r)
         g_in = jnp.einsum("ptkj,ptk->tj", inner, r)
         g_int = jnp.einsum("ptkj,ptk->tj", intr, r)
-        g_ext = (
-            jnp.einsum("tr,tj->rj", grid.onehot_outer, g_out)
-            + jnp.einsum("tr,tj->rj", grid.onehot_inner, g_in)
-        )
-        g_c = jnp.concatenate([
-            g_ext.reshape(-1),
-            jnp.einsum("tk,tj->kj", grid.onehot_intr, g_int).reshape(-1),
-        ])
-
-        # Hcc: per-slot 18x18 then block-binned via one-hots
+        g_slots = jnp.concatenate([g_out, g_in, g_int], axis=-1)
         J18 = jnp.concatenate([outer, inner, intr], axis=-1)  # (c, T, 2, 18)
         hcc_slots = jnp.einsum("ptki,ptkj->tij", J18, J18)    # (T, 18, 18)
-        groups = (
-            (grid.onehot_outer, slice(0, 6), 0),
-            (grid.onehot_inner, slice(6, 12), 0),
-            (grid.onehot_intr, slice(12, 18), 6 * R_rows),
-        )
-        hcc = jnp.zeros((C, C), dtype)
-        for oh_a, sl_a, off_a in groups:
-            Ra = oh_a.shape[1]
-            for oh_b, sl_b, off_b in groups:
-                Rb = oh_b.shape[1]
-                dense = jnp.einsum(
-                    "tij,tu,tv->uivj", hcc_slots[:, sl_a, sl_b], oh_a, oh_b
-                ).reshape(6 * Ra, 6 * Rb)
-                hcc = hcc.at[
-                    off_a: off_a + 6 * Ra, off_b: off_b + 6 * Rb
-                ].add(dense)
+        g_c, hcc = _bin_slot_system(g_slots, hcc_slots, grid, C, dtype)
 
         # E: point-camera coupling, slot-binned dense (c, 3, C)
         def e_part(grp, oh):
@@ -417,6 +430,19 @@ def assemble_grid_system(
         E = jnp.concatenate([E_ext, E_int], axis=-1)          # (c, 3, C)
         return cost, g_p, hpp, g_c, hcc, E
 
+    def chunk_fn_planes(args):
+        from deeparc_tpu.solver.rig_planes import linearize_planes
+
+        pts, xy, msk, pfree = args
+        cost, g_p, hpp, g_slots, hcc_slots, E = linearize_planes(
+            pts, sp, grid, xy[..., 0], xy[..., 1], msk,
+            free_outer, free_inner, free_intr, pfree,
+            loss=loss, loss_scale=loss_scale,
+        )
+        g_c, hcc = _bin_slot_system(g_slots, hcc_slots, grid, C, dtype)
+        return cost, g_p, hpp, g_c, hcc, E
+
+    chunk_fn = chunk_fn_planes if impl == "planes" else chunk_fn_einsum
     shaped = lambda a: a.reshape((n_chunks, chunk_size) + a.shape[1:])
     cost_c, g_p_c, hpp_c, g_c_c, hcc_c, E_c = jax.lax.map(
         chunk_fn,
@@ -436,6 +462,7 @@ def grid_cost(
     points: jnp.ndarray, sp: SlotParams, grid: GridIndex,
     chunk_size: int = 16384,
     loss: str = "trivial", loss_scale: float = 0.5,
+    impl: str = "planes",
 ) -> jnp.ndarray:
     """Residual-only (robustified) cost pass (trial evaluation), chunked."""
     N = points.shape[0]
@@ -452,6 +479,11 @@ def grid_cost(
         from deeparc_tpu.solver.loss import rho as loss_rho
 
         pts, xy, msk = args
+        if impl == "planes":
+            from deeparc_tpu.solver.rig_planes import cost_planes
+
+            return cost_planes(pts, sp, xy[..., 0], xy[..., 1], msk,
+                               loss=loss, loss_scale=loss_scale)
         r = grid_residuals(pts, sp, grid._replace(xy=xy, mask=msk))
         s = jnp.sum(r * r, axis=-1)
         return 0.5 * jnp.sum(loss_rho(s, loss, loss_scale) * msk)
@@ -490,7 +522,7 @@ def _params_from(cam_vec: jnp.ndarray, points: jnp.ndarray,
 
 
 def make_grid_step(options: SolverOptions, template: BAParams,
-                   chunk_size: int = 8192):
+                   chunk_size: int = 8192, impl: str = "planes"):
     """Pure LM step over the grid layout:
     step(state, grid, cam_free, point_free) -> (state, info)."""
     from deeparc_tpu.solver.ba import StepInfo
@@ -500,7 +532,7 @@ def make_grid_step(options: SolverOptions, template: BAParams,
         sp = slot_params(params, grid)
         sys = assemble_grid_system(
             state.points, sp, grid, cam_free, point_free, chunk_size,
-            options.loss, options.loss_scale,
+            options.loss, options.loss_scale, impl=impl,
         )
 
         # augmented per-point blocks
@@ -543,7 +575,7 @@ def make_grid_step(options: SolverOptions, template: BAParams,
         trial_params = _params_from(new_cam, new_points, template)
         new_cost = grid_cost(
             new_points, slot_params(trial_params, grid), grid,
-            loss=options.loss, loss_scale=options.loss_scale,
+            loss=options.loss, loss_scale=options.loss_scale, impl=impl,
         )
 
         rho = (state.cost - new_cost) / jnp.maximum(mcc, 1e-300)
@@ -617,6 +649,7 @@ def solve_ba_grid(
     options: SolverOptions = SolverOptions(),
     driver: str = "python",
     chunk_size: int = 8192,
+    impl: str = "planes",
 ):
     """LM to convergence on the grid engine. Returns a solver.ba.BAResult."""
     import time as _time
@@ -626,7 +659,7 @@ def solve_ba_grid(
 
     cam_free = flatten_camera(free)
     point_free = free.points
-    step = make_grid_step(options, params, chunk_size)
+    step = make_grid_step(options, params, chunk_size, impl=impl)
     state = init_grid_state(params, grid, options)
 
     if driver == "while_loop":

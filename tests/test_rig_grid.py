@@ -166,3 +166,33 @@ def test_grid_while_loop_driver(problem):
     a = solve_ba_grid(scene.params, grid, free, opts, driver="python")
     b = solve_ba_grid(scene.params, grid, free, opts, driver="while_loop")
     np.testing.assert_allclose(float(a.cost), float(b.cost), rtol=1e-10)
+
+
+def test_planes_impl_matches_einsum_impl(problem):
+    """The structure-of-arrays linearization (rig_planes.py) must reproduce
+    the einsum formulation field-for-field, including robust loss weighting
+    and freeze masks."""
+    scene, grid, free = problem
+    cam_free = flatten_camera(free)
+    point_free = free.points
+    sp = slot_params(scene.params, grid)
+    from deeparc_tpu.solver.rig_grid import grid_cost
+
+    for loss in ("trivial", "cauchy"):
+        kw = dict(chunk_size=16, loss=loss, loss_scale=0.7)
+        sys_p = assemble_grid_system(
+            scene.params.points, sp, grid, cam_free, point_free, **kw)
+        sys_e = assemble_grid_system(
+            scene.params.points, sp, grid, cam_free, point_free,
+            impl="einsum", **kw)
+        for name in ("cost", "g_p", "hpp", "g_c", "hcc", "E"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sys_p, name)),
+                np.asarray(getattr(sys_e, name)),
+                rtol=1e-7, atol=1e-10, err_msg=f"{name} ({loss})",
+            )
+        c_p = grid_cost(scene.params.points, sp, grid, chunk_size=16,
+                        loss=loss, loss_scale=0.7, impl="planes")
+        c_e = grid_cost(scene.params.points, sp, grid, chunk_size=16,
+                        loss=loss, loss_scale=0.7, impl="einsum")
+        np.testing.assert_allclose(float(c_p), float(c_e), rtol=1e-12)
