@@ -1,0 +1,147 @@
+"""Distributed dense-grid bundle adjustment: points sharded over a mesh.
+
+This is the flagship multi-chip path: the grid engine's plane-form
+linearization (rig_planes.py) runs shard-locally on each device's slice of
+the (N points x T cells) observation grid, and only the SMALL replicated
+camera system crosses the interconnect:
+
+  * grid rows (xy, mask), points, and point freeze masks are partitioned
+    over the ``data`` mesh axis — every per-point quantity (H_pp, g_p, the
+    E coupling rows, back-substitution) is shard-local, zero communication;
+  * the reduced camera pieces (g_c (C,), H_cc (C,C), the Schur correction
+    E^T B^-1 E (C,C) and rhs (C,)) are ``psum``-ed over ICI/DCN — a few
+    hundred KB per LM iteration regardless of problem size;
+  * LM trust-region control flow is replicated (cost/rho/radius derive from
+    psum-reduced scalars), so the whole solve runs inside ONE
+    ``shard_map`` + ``lax.while_loop`` computation with no host round-trips.
+
+The step function itself is ``rig_grid.make_grid_step(axis=...)`` — the
+exact single-chip code with its cross-point reductions routed through
+psum/pmax, so distributed iterates match single-device iterates up to float
+re-association (asserted in tests/test_dist.py on the virtual CPU mesh).
+
+The reference has no distributed capability at all (SURVEY.md section 2.5);
+this module is new capability mandated by BASELINE.json (>=75% scaling
+efficiency at 2+ hosts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from deeparc_tpu.config import SolverOptions
+from deeparc_tpu.scene import BAParams
+from deeparc_tpu.solver.rig_grid import (
+    GridIndex,
+    GridState,
+    init_grid_state,
+    make_grid_step,
+)
+
+
+def _pad_rows(arr: jnp.ndarray, n_pad: int, fill=0.0) -> np.ndarray:
+    arr = np.asarray(arr)
+    if n_pad == 0:
+        return arr
+    pad = np.full((n_pad,) + arr.shape[1:], fill, arr.dtype)
+    return np.concatenate([arr, pad])
+
+
+def shard_grid_rows(params: BAParams, grid: GridIndex, point_free,
+                    n_shards: int):
+    """Host-side: pad N to a multiple of n_shards; return (params, grid,
+    point_free) with point-major arrays padded (masked) for even sharding,
+    plus the padded point count."""
+    N = int(params.points.shape[0])
+    n_local = -(-N // n_shards)
+    n_pad = n_local * n_shards - N
+
+    points = _pad_rows(params.points, n_pad)
+    # padded points at z=1 so the projection chain stays finite
+    if n_pad:
+        points[N:, 2] = 1.0
+    params_p = dataclasses.replace(params, points=jnp.asarray(points))
+    grid_p = grid._replace(
+        xy=jnp.asarray(_pad_rows(grid.xy, n_pad)),
+        mask=jnp.asarray(_pad_rows(grid.mask, n_pad)),
+        point_mask=jnp.asarray(_pad_rows(grid.point_mask, n_pad)),
+    )
+    point_free_p = jnp.asarray(_pad_rows(point_free, n_pad))
+    return params_p, grid_p, point_free_p, N
+
+
+def solve_ba_grid_sharded(
+    params: BAParams,
+    grid: GridIndex,
+    free: BAParams,
+    options: SolverOptions = SolverOptions(),
+    mesh: Mesh | None = None,
+    axis: str = "data",
+    chunk_size: int = 8192,
+    impl: str = "planes",
+):
+    """Full LM solve SPMD over the mesh's ``axis``. Returns a BAResult whose
+    params are gathered back to host-global shapes (padding dropped)."""
+    from deeparc_tpu.parallel.sharded_ba import make_mesh
+    from deeparc_tpu.residuals.reprojection import flatten_camera
+    from deeparc_tpu.solver.ba import BAResult
+    from deeparc_tpu.solver.rig_grid import _params_from
+
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    n_shards = mesh.devices.size
+
+    cam_free = flatten_camera(free)
+    params_p, grid_p, point_free_p, N = shard_grid_rows(
+        params, grid, free.points, n_shards)
+
+    step = make_grid_step(options, params_p, chunk_size, impl=impl,
+                          axis=axis)
+
+    # point-major leaves shard over the axis; slot tables replicate
+    sharded_fields = {"xy", "mask", "point_mask"}
+
+    def spmd(points, xy, mask, point_mask, point_free, cam_tables, cam_free):
+        g = GridIndex(xy=xy, mask=mask, point_mask=point_mask,
+                      **{f: getattr(cam_tables["grid"], f)
+                         for f in GridIndex._fields
+                         if f not in sharded_fields})
+        p = dataclasses.replace(cam_tables["params"], points=points)
+        state = init_grid_state(p, g, options, axis=axis)
+        final = jax.lax.while_loop(
+            lambda st: (st.status == 0) & (st.k < options.max_iterations),
+            lambda st: step(st, g, cam_free, point_free)[0],
+            state,
+        )
+        return (final.points, final.cam_vec, final.cost, final.k,
+                final.status)
+
+    rep_grid = grid_p._replace(
+        xy=jnp.zeros((0,) + grid_p.xy.shape[1:], grid_p.xy.dtype),
+        mask=jnp.zeros((0,) + grid_p.mask.shape[1:], grid_p.mask.dtype),
+        point_mask=jnp.zeros((0,), grid_p.point_mask.dtype),
+    )
+    cam_tables = {"grid": rep_grid, "params": params_p}
+
+    fn = shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                  jax.tree.map(lambda _: P(), cam_tables), P()),
+        out_specs=(P(axis), P(), P(), P(), P()),
+    )
+    points_f, cam_f, cost_f, k_f, status_f = jax.jit(fn)(
+        params_p.points, grid_p.xy, grid_p.mask, grid_p.point_mask,
+        point_free_p, cam_tables, cam_free,
+    )
+    out_params = _params_from(cam_f, points_f[:N], params)
+    return BAResult(
+        params=out_params, cost=float(cost_f),
+        iterations=int(k_f), status=int(status_f),
+    )

@@ -522,10 +522,24 @@ def _params_from(cam_vec: jnp.ndarray, points: jnp.ndarray,
 
 
 def make_grid_step(options: SolverOptions, template: BAParams,
-                   chunk_size: int = 8192, impl: str = "planes"):
+                   chunk_size: int = 8192, impl: str = "planes",
+                   axis: str | None = None):
     """Pure LM step over the grid layout:
-    step(state, grid, cam_free, point_free) -> (state, info)."""
+    step(state, grid, cam_free, point_free) -> (state, info).
+
+    With ``axis`` set, the step is SPMD over that mesh axis: the caller
+    shards points (grid rows + state.points) across shards, and every
+    cross-point reduction is a ``psum``/``pmax`` over the axis — the reduced
+    camera system, trial cost, and trust-region scalars come out replicated,
+    so the identical step function serves both the single-chip and the
+    distributed grid engine (SURVEY.md section 2.5)."""
     from deeparc_tpu.solver.ba import StepInfo
+
+    if axis is None:
+        allsum = allmax = lambda x: x
+    else:
+        allsum = lambda x: jax.lax.psum(x, axis)
+        allmax = lambda x: jax.lax.pmax(x, axis)
 
     def step(state: GridState, grid: GridIndex, cam_free, point_free):
         params = _params_from(state.cam_vec, state.points, template)
@@ -534,6 +548,8 @@ def make_grid_step(options: SolverOptions, template: BAParams,
             state.points, sp, grid, cam_free, point_free, chunk_size,
             options.loss, options.loss_scale, impl=impl,
         )
+        sys = sys._replace(g_c=allsum(sys.g_c), hcc=allsum(sys.hcc),
+                           cost=allsum(sys.cost))
 
         # augmented per-point blocks
         diag = jnp.diagonal(sys.hpp, axis1=-2, axis2=-1)
@@ -551,9 +567,9 @@ def make_grid_step(options: SolverOptions, template: BAParams,
 
         rhs = (
             -sys.g_c
-            + jnp.einsum("pic,pij,pj->c", sys.E, binv, sys.g_p)
+            + allsum(jnp.einsum("pic,pij,pj->c", sys.E, binv, sys.g_p))
         ) * cam_free
-        corr = jnp.einsum("pic,pij,pjd->cd", sys.E, binv, sys.E)
+        corr = allsum(jnp.einsum("pic,pij,pjd->cd", sys.E, binv, sys.E))
         S = sys.hcc + jnp.diag(cam_aug) - corr
         dc = masked_spd_solve(S, rhs, cam_free)
 
@@ -562,10 +578,12 @@ def make_grid_step(options: SolverOptions, template: BAParams,
 
         # model cost change from stored quadratic pieces:
         # mcc = -(d^T g + 0.5 d^T (J^T J) d)
-        dtg = jnp.vdot(dp, sys.g_p) + jnp.vdot(dc, sys.g_c)
+        dtg = allsum(jnp.vdot(dp, sys.g_p)) + jnp.vdot(dc, sys.g_c)
         dhd = (
-            jnp.einsum("pi,pij,pj->", dp, sys.hpp, dp)
-            + 2.0 * jnp.vdot(dp.reshape(-1), e_dc.reshape(-1))
+            allsum(
+                jnp.einsum("pi,pij,pj->", dp, sys.hpp, dp)
+                + 2.0 * jnp.vdot(dp.reshape(-1), e_dc.reshape(-1))
+            )
             + dc @ (sys.hcc @ dc)
         )
         mcc = -(dtg + 0.5 * dhd)
@@ -573,10 +591,10 @@ def make_grid_step(options: SolverOptions, template: BAParams,
         new_points = state.points + dp
         new_cam = state.cam_vec + dc
         trial_params = _params_from(new_cam, new_points, template)
-        new_cost = grid_cost(
+        new_cost = allsum(grid_cost(
             new_points, slot_params(trial_params, grid), grid,
             loss=options.loss, loss_scale=options.loss_scale, impl=impl,
-        )
+        ))
 
         rho = (state.cost - new_cost) / jnp.maximum(mcc, 1e-300)
         accept = (mcc > 0) & (rho > options.min_relative_decrease)
@@ -591,11 +609,11 @@ def make_grid_step(options: SolverOptions, template: BAParams,
         cost_next = jnp.where(accept, new_cost, state.cost)
 
         grad_max = jnp.maximum(
-            jnp.max(jnp.abs(sys.g_c)), jnp.max(jnp.abs(sys.g_p))
+            jnp.max(jnp.abs(sys.g_c)), allmax(jnp.max(jnp.abs(sys.g_p)))
         )
-        step_norm = jnp.sqrt(jnp.vdot(dp, dp) + jnp.vdot(dc, dc))
+        step_norm = jnp.sqrt(allsum(jnp.vdot(dp, dp)) + jnp.vdot(dc, dc))
         x_norm = jnp.sqrt(
-            jnp.vdot(state.points, state.points)
+            allsum(jnp.vdot(state.points, state.points))
             + jnp.vdot(state.cam_vec, state.cam_vec)
         )
         cost_change = state.cost - new_cost
@@ -627,15 +645,19 @@ def make_grid_step(options: SolverOptions, template: BAParams,
 
 
 def init_grid_state(
-    params: BAParams, grid: GridIndex, options: SolverOptions
+    params: BAParams, grid: GridIndex, options: SolverOptions,
+    axis: str | None = None,
 ) -> GridState:
     dtype = params.points.dtype
     sp = slot_params(params, grid)
+    cost0 = grid_cost(params.points, sp, grid,
+                      loss=options.loss, loss_scale=options.loss_scale)
+    if axis is not None:
+        cost0 = jax.lax.psum(cost0, axis)
     return GridState(
         points=params.points,
         cam_vec=flatten_cam_tables(params),
-        cost=grid_cost(params.points, sp, grid,
-                       loss=options.loss, loss_scale=options.loss_scale),
+        cost=cost0,
         tr=tr_mod.init_tr(options.initial_radius, dtype),
         k=jnp.asarray(0),
         status=jnp.asarray(0),

@@ -64,3 +64,33 @@ def test_shard_scene_partitions_all_observations(problem):
     assert alive == int(np.asarray(scene.index.obs_mask).sum())
     # every local point index within range
     assert (sharded.obs_point < sharded.points.shape[1]).all()
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_grid_matches_single_device_grid(problem, n_dev):
+    """The distributed grid engine (points over the mesh, psum'd camera
+    system) must reproduce the single-device grid solve."""
+    from deeparc_tpu.parallel.sharded_grid import solve_ba_grid_sharded
+    from deeparc_tpu.solver.rig_grid import grid_from_scene, solve_ba_grid
+
+    scene, free = problem
+    assert len(jax.devices()) >= n_dev, "virtual device mesh missing"
+    opts = SolverOptions(max_iterations=10)
+    grid = grid_from_scene(scene)
+
+    ref = solve_ba_grid(scene.params, grid, free, opts, driver="while_loop",
+                        chunk_size=32)
+    mesh = make_mesh(n_dev)
+    out = solve_ba_grid_sharded(scene.params, grid, free, opts, mesh,
+                                chunk_size=16)
+
+    assert out.iterations == ref.iterations
+    np.testing.assert_allclose(out.cost, ref.cost, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(out.params.points), np.asarray(ref.params.points),
+        rtol=1e-7, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.params.ext_rot), np.asarray(ref.params.ext_rot),
+        rtol=1e-7, atol=1e-9,
+    )
