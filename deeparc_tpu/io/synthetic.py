@@ -287,7 +287,8 @@ def make_grid_rig_device(
 
     K = d.n_intrinsics
     grid = GridIndex(
-        xy=jnp.zeros((n_points, T, 2), dtype),
+        xy0=jnp.zeros((n_points, T), dtype),
+        xy1=jnp.zeros((n_points, T), dtype),
         mask=jnp.ones((n_points, T), dtype),
         point_mask=jnp.ones((n_points,), dtype),
         slot_outer=jnp.asarray(outer, jnp.int32),
@@ -332,13 +333,13 @@ def make_grid_rig_device(
         init_points = gt_points + point_noise * jax.random.normal(
             jax.random.fold_in(key, 7), gt_points.shape, dtype
         )
-        return gt_points, init_points, xy, mask
+        return gt_points, init_points, xy[..., 0], xy[..., 1], mask
 
-    gt_points, init_points, xy, mask = synthesize(
+    gt_points, init_points, xy0, xy1, mask = synthesize(
         jax.random.PRNGKey(seed)
     )
     import dataclasses as _dc
 
     params = _dc.replace(params_gt, points=init_points)
-    grid = grid._replace(xy=xy, mask=mask)
+    grid = grid._replace(xy0=xy0, xy1=xy1, mask=mask)
     return params, grid, gt_points

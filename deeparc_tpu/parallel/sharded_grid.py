@@ -68,7 +68,8 @@ def shard_grid_rows(params: BAParams, grid: GridIndex, point_free,
         points[N:, 2] = 1.0
     params_p = dataclasses.replace(params, points=jnp.asarray(points))
     grid_p = grid._replace(
-        xy=jnp.asarray(_pad_rows(grid.xy, n_pad)),
+        xy0=jnp.asarray(_pad_rows(grid.xy0, n_pad)),
+        xy1=jnp.asarray(_pad_rows(grid.xy1, n_pad)),
         mask=jnp.asarray(_pad_rows(grid.mask, n_pad)),
         point_mask=jnp.asarray(_pad_rows(grid.point_mask, n_pad)),
     )
@@ -105,10 +106,11 @@ def solve_ba_grid_sharded(
                           axis=axis)
 
     # point-major leaves shard over the axis; slot tables replicate
-    sharded_fields = {"xy", "mask", "point_mask"}
+    sharded_fields = {"xy0", "xy1", "mask", "point_mask"}
 
-    def spmd(points, xy, mask, point_mask, point_free, cam_tables, cam_free):
-        g = GridIndex(xy=xy, mask=mask, point_mask=point_mask,
+    def spmd(points, xy0, xy1, mask, point_mask, point_free, cam_tables,
+             cam_free):
+        g = GridIndex(xy0=xy0, xy1=xy1, mask=mask, point_mask=point_mask,
                       **{f: getattr(cam_tables["grid"], f)
                          for f in GridIndex._fields
                          if f not in sharded_fields})
@@ -123,7 +125,8 @@ def solve_ba_grid_sharded(
                 final.status)
 
     rep_grid = grid_p._replace(
-        xy=jnp.zeros((0,) + grid_p.xy.shape[1:], grid_p.xy.dtype),
+        xy0=jnp.zeros((0,) + grid_p.xy0.shape[1:], grid_p.xy0.dtype),
+        xy1=jnp.zeros((0,) + grid_p.xy1.shape[1:], grid_p.xy1.dtype),
         mask=jnp.zeros((0,) + grid_p.mask.shape[1:], grid_p.mask.dtype),
         point_mask=jnp.zeros((0,), grid_p.point_mask.dtype),
     )
@@ -132,13 +135,13 @@ def solve_ba_grid_sharded(
     fn = shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
                   jax.tree.map(lambda _: P(), cam_tables), P()),
         out_specs=(P(axis), P(), P(), P(), P()),
     )
     points_f, cam_f, cost_f, k_f, status_f = jax.jit(fn)(
-        params_p.points, grid_p.xy, grid_p.mask, grid_p.point_mask,
-        point_free_p, cam_tables, cam_free,
+        params_p.points, grid_p.xy0, grid_p.xy1, grid_p.mask,
+        grid_p.point_mask, point_free_p, cam_tables, cam_free,
     )
     out_params = _params_from(cam_f, points_f[:N], params)
     return BAResult(

@@ -153,7 +153,7 @@ def run_pipeline(
         from deeparc_tpu.solver.rig_grid import grid_from_scene, solve_ba_grid
 
         grid = grid_from_scene(scene)
-        log(f"[deeparc] engine=grid ({grid.xy.shape[1]} cells, "
+        log(f"[deeparc] engine=grid ({grid.mask.shape[1]} cells, "
             f"{float(jnp.mean(grid.mask)) * 100:.1f}% grid density)")
 
         def run_solve(free):

@@ -87,7 +87,7 @@ def run_incremental(
         raise ValueError("incremental grid BA requires a shared rig; "
                          "use pose-graph + indexed BA for free cameras")
     grid = grid_from_scene(scene)
-    T = grid.xy.shape[1]
+    T = grid.mask.shape[1]
     full_mask = np.asarray(grid.mask)
     order = bfs_cell_order(full_mask, T, start=0)
     if batch_size is None:

@@ -50,9 +50,15 @@ from deeparc_tpu.solver.trust_region import lm_diagonal
 
 
 class GridIndex(NamedTuple):
-    """Dense (N points x T cells) observation grid + per-cell structure."""
+    """Dense (N points x T cells) observation grid + per-cell structure.
 
-    xy: jnp.ndarray          # (N, T, 2) observed pixels (0 where masked)
+    Observed pixels are stored as two (N, T) *planes* (not one (N, T, 2)
+    tensor): both dims of a plane are TPU tile-friendly, whereas a trailing
+    size-2 dim lands in the (8, 128) lane tile and pads 64x.
+    """
+
+    xy0: jnp.ndarray         # (N, T) observed pixel x (0 where masked)
+    xy1: jnp.ndarray         # (N, T) observed pixel y
     mask: jnp.ndarray        # (N, T) 1.0 = observed
     point_mask: jnp.ndarray  # (N,)
     slot_outer: jnp.ndarray  # (T,) int32 extrinsic row ids
@@ -110,7 +116,8 @@ def grid_from_scene(scene: Scene, dtype=None) -> GridIndex:
     m1 = np.asarray(scene.index.dist_m1)[intr]
     m2 = np.asarray(scene.index.dist_m2)[intr]
     return GridIndex(
-        xy=jnp.asarray(xy, dtype),
+        xy0=jnp.asarray(xy[..., 0], dtype),
+        xy1=jnp.asarray(xy[..., 1], dtype),
         mask=jnp.asarray(mask, dtype),
         point_mask=jnp.asarray(np.asarray(scene.index.point_mask), dtype),
         slot_outer=jnp.asarray(outer, jnp.int32),
@@ -167,22 +174,11 @@ def slot_params(params: BAParams, grid: GridIndex) -> SlotParams:
 def grid_residuals(
     points: jnp.ndarray, sp: SlotParams, grid: GridIndex
 ) -> jnp.ndarray:
-    """Masked residuals (N, T, 2) via dense slot-batched matmuls."""
-    p3 = (
-        jnp.einsum("tab,pb->pta", sp.R_oi, points)
-        + (jnp.einsum("tab,tb->ta", sp.R_o, sp.t_i) + sp.t_o)[None]
-    )
-    z = p3[..., 2]
-    inv_z = 1.0 / z
-    u = p3[..., :2] * inv_z[..., None]
-    r2 = jnp.sum(u * u, axis=-1)
-    dcoef = 1.0 + r2 * (sp.d0[None] + sp.d1[None] * r2)
-    pred = (
-        jnp.stack([sp.fx[None] * u[..., 0], sp.fy[None] * u[..., 1]], axis=-1)
-        * dcoef[..., None]
-        + sp.center[None]
-    )
-    return (pred - grid.xy) * grid.mask[..., None]
+    """Masked residuals (N, T, 2), evaluated on (N, T) planes."""
+    from deeparc_tpu.solver.rig_planes import _project_planes
+
+    c = _project_planes(points, sp, grid.xy0, grid.xy1, grid.mask)
+    return jnp.stack([c["r0"], c["r1"]], axis=-1)
 
 
 class GridBlocks(NamedTuple):
@@ -218,7 +214,7 @@ def grid_jacobians(
          jnp.broadcast_to(sp.fy[None], z.shape)], axis=-1
     )                                            # (N, T, 2)
     pred = f2 * dcoef[..., None] * u + sp.center[None]
-    r = (pred - grid.xy) * mask
+    r = (pred - jnp.stack([grid.xy0, grid.xy1], axis=-1)) * mask
 
     # du/dp3: rows [1/z, 0, -ux/z], [0, 1/z, -uy/z]
     zero = jnp.zeros_like(inv_z)
@@ -356,7 +352,7 @@ def assemble_grid_system(
     reference formulation carrying (N, T, 2, 3) blocks).
     """
     N = points.shape[0]
-    T = grid.xy.shape[1]
+    T = grid.mask.shape[1]
     R_rows = grid.onehot_outer.shape[1]
     K = grid.onehot_intr.shape[1]
     C = 6 * R_rows + 6 * K
@@ -375,15 +371,17 @@ def assemble_grid_system(
     # padded points sit at the origin; give them z-safe coordinates and a
     # zero mask so they contribute nothing
     points_p = points_p.at[N:, 2].set(1.0)
-    xy_p = jnp.concatenate([grid.xy, jnp.zeros((pad, T, 2), dtype)])
-    mask_p = jnp.concatenate([grid.mask, jnp.zeros((pad, T), dtype)])
+    pad_plane = jnp.zeros((pad, T), dtype)
+    xy0_p = jnp.concatenate([grid.xy0, pad_plane])
+    xy1_p = jnp.concatenate([grid.xy1, pad_plane])
+    mask_p = jnp.concatenate([grid.mask, pad_plane])
     pfree_p = jnp.concatenate([point_free, jnp.zeros((pad, 3), dtype)])
 
     def chunk_fn_einsum(args):
         from deeparc_tpu.solver.loss import rho as loss_rho, weight as loss_weight
 
-        pts, xy, msk, pfree = args
-        g = grid._replace(xy=xy, mask=msk)
+        pts, xy0, xy1, msk, pfree = args
+        g = grid._replace(xy0=xy0, xy1=xy1, mask=msk)
         blocks = grid_jacobians(pts, sp, g)
         raw_s = jnp.sum(blocks.r * blocks.r, axis=-1)
         if loss != "trivial":
@@ -433,9 +431,9 @@ def assemble_grid_system(
     def chunk_fn_planes(args):
         from deeparc_tpu.solver.rig_planes import linearize_planes
 
-        pts, xy, msk, pfree = args
+        pts, xy0, xy1, msk, pfree = args
         cost, g_p, hpp, g_slots, hcc_slots, E = linearize_planes(
-            pts, sp, grid, xy[..., 0], xy[..., 1], msk,
+            pts, sp, grid, xy0, xy1, msk,
             free_outer, free_inner, free_intr, pfree,
             loss=loss, loss_scale=loss_scale,
         )
@@ -446,7 +444,8 @@ def assemble_grid_system(
     shaped = lambda a: a.reshape((n_chunks, chunk_size) + a.shape[1:])
     cost_c, g_p_c, hpp_c, g_c_c, hcc_c, E_c = jax.lax.map(
         chunk_fn,
-        (shaped(points_p), shaped(xy_p), shaped(mask_p), shaped(pfree_p)),
+        (shaped(points_p), shaped(xy0_p), shaped(xy1_p), shaped(mask_p),
+         shaped(pfree_p)),
     )
     return GridSystem(
         cost=jnp.sum(cost_c),
@@ -466,30 +465,35 @@ def grid_cost(
 ) -> jnp.ndarray:
     """Residual-only (robustified) cost pass (trial evaluation), chunked."""
     N = points.shape[0]
-    T = grid.xy.shape[1]
+    T = grid.mask.shape[1]
     dtype = points.dtype
     n_chunks = -(-N // chunk_size)
     pad = n_chunks * chunk_size - N
     points_p = jnp.concatenate([points, jnp.zeros((pad, 3), dtype)])
     points_p = points_p.at[N:, 2].set(1.0)
-    xy_p = jnp.concatenate([grid.xy, jnp.zeros((pad, T, 2), dtype)])
-    mask_p = jnp.concatenate([grid.mask, jnp.zeros((pad, T), dtype)])
+    pad_plane = jnp.zeros((pad, T), dtype)
+    xy0_p = jnp.concatenate([grid.xy0, pad_plane])
+    xy1_p = jnp.concatenate([grid.xy1, pad_plane])
+    mask_p = jnp.concatenate([grid.mask, pad_plane])
 
     def chunk_fn(args):
         from deeparc_tpu.solver.loss import rho as loss_rho
 
-        pts, xy, msk = args
+        pts, xy0, xy1, msk = args
         if impl == "planes":
             from deeparc_tpu.solver.rig_planes import cost_planes
 
-            return cost_planes(pts, sp, xy[..., 0], xy[..., 1], msk,
+            return cost_planes(pts, sp, xy0, xy1, msk,
                                loss=loss, loss_scale=loss_scale)
-        r = grid_residuals(pts, sp, grid._replace(xy=xy, mask=msk))
+        r = grid_residuals(pts, sp, grid._replace(xy0=xy0, xy1=xy1, mask=msk))
         s = jnp.sum(r * r, axis=-1)
         return 0.5 * jnp.sum(loss_rho(s, loss, loss_scale) * msk)
 
     shaped = lambda a: a.reshape((n_chunks, chunk_size) + a.shape[1:])
-    costs = jax.lax.map(chunk_fn, (shaped(points_p), shaped(xy_p), shaped(mask_p)))
+    costs = jax.lax.map(
+        chunk_fn,
+        (shaped(points_p), shaped(xy0_p), shaped(xy1_p), shaped(mask_p)),
+    )
     return jnp.sum(costs)
 
 

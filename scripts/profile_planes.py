@@ -40,7 +40,7 @@ def main():
     sp = jax.jit(rg.slot_params)(params, grid)
     jax.block_until_ready(sp)
     points = params.points
-    xy0, xy1 = grid.xy[..., 0], grid.xy[..., 1]
+    xy0, xy1 = grid.xy0, grid.xy1
     mask = grid.mask
     T = mask.shape[1]
     R_rows = grid.onehot_outer.shape[1]
