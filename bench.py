@@ -46,6 +46,9 @@ def parse_args(argv=None):
                    help="grid = dense (N x cells) rig engine (TPU-native); "
                         "indexed = observation-list engine")
     p.add_argument("--chunk-size", type=int, default=8192)
+    p.add_argument("--impl", default="planes",
+                   choices=["planes", "einsum", "pallas"],
+                   help="grid-engine linearization kernel")
     return p.parse_args(argv)
 
 
@@ -102,7 +105,8 @@ def measure(args) -> dict:
             function_tolerance=0.0, gradient_tolerance=0.0,
             parameter_tolerance=0.0,
         )
-        g_step = make_grid_step(options, params, args.chunk_size)
+        g_step = make_grid_step(options, params, args.chunk_size,
+                                impl=args.impl)
         step = jax.jit(lambda s, g, cf, pf: g_step(s, g, cf, pf)[0],
                        donate_argnums=(0,))
         state = init_grid_state(params, grid, options)

@@ -348,8 +348,15 @@ def assemble_grid_system(
     column; the (N, 3) point mask by zeroing j_x.
 
     ``impl`` selects the linearization kernel: "planes" (structure-of-arrays
-    (N, T) planes — the TPU-fast path, see rig_planes.py) or "einsum" (the
-    reference formulation carrying (N, T, 2, 3) blocks).
+    (N, T) planes — pure-XLA fast path, see rig_planes.py), "einsum" (the
+    reference formulation carrying (N, T, 2, 3) blocks), or "pallas" (the
+    fused single-pass kernel, kernels/rig_pallas.py — every intermediate
+    plane stays in VMEM; TPU only, interpreted elsewhere).
+
+    NOTE: with impl="pallas" the returned ``E`` is in the kernel's NATIVE
+    column order (see kernels.rig_pallas docstring); ``g_c``/``hcc`` are
+    always in flat camera-vector order. ``make_grid_step`` permutes the
+    C-sized vectors at the E boundary — never E itself.
     """
     N = points.shape[0]
     T = grid.mask.shape[1]
@@ -364,6 +371,19 @@ def assemble_grid_system(
     free_outer = cam_free_rows[grid.slot_outer]    # (T, 6)
     free_inner = cam_free_rows[grid.slot_inner]
     free_intr = cam_free_intr[grid.slot_intr]
+
+    if impl == "pallas":
+        from deeparc_tpu.kernels.rig_pallas import linearize_grid
+
+        cost, g_p, hpp, g_slots, hcc_slots, E_nat = linearize_grid(
+            points, point_free, sp, grid, free_outer, free_inner, free_intr,
+            loss=loss, loss_scale=loss_scale,
+            block_np=min(chunk_size, 256),
+            interpret=jax.default_backend() == "cpu",
+        )
+        g_c, hcc = _bin_slot_system(g_slots, hcc_slots, grid, C, dtype)
+        return GridSystem(cost=cost, g_p=g_p, hpp=hpp, g_c=g_c, hcc=hcc,
+                          E=E_nat)
 
     n_chunks = -(-N // chunk_size)
     pad = n_chunks * chunk_size - N
@@ -464,6 +484,14 @@ def grid_cost(
     impl: str = "planes",
 ) -> jnp.ndarray:
     """Residual-only (robustified) cost pass (trial evaluation), chunked."""
+    if impl == "pallas":
+        from deeparc_tpu.kernels.rig_pallas import cost_grid as pallas_cost
+
+        return pallas_cost(
+            points, sp, grid, loss=loss, loss_scale=loss_scale,
+            block_np=min(chunk_size, 1024),
+            interpret=jax.default_backend() == "cpu",
+        )
     N = points.shape[0]
     T = grid.mask.shape[1]
     dtype = points.dtype
@@ -545,7 +573,26 @@ def make_grid_step(options: SolverOptions, template: BAParams,
         allsum = lambda x: jax.lax.psum(x, axis)
         allmax = lambda x: jax.lax.pmax(x, axis)
 
+    def _e_perms(grid: GridIndex):
+        """Permutations between the pallas kernel's native E column order
+        and the flat camera-vector order (identity for other impls). Only
+        C-sized quantities are ever permuted — never E."""
+        if impl != "pallas":
+            return None, None
+        from deeparc_tpu.kernels.rig_pallas import (
+            flat_of_native, native_of_flat,
+        )
+
+        R_rows = grid.onehot_outer.shape[1]
+        K = grid.onehot_intr.shape[1]
+        return (jnp.asarray(native_of_flat(R_rows, K)),
+                jnp.asarray(flat_of_native(R_rows, K)))
+
     def step(state: GridState, grid: GridIndex, cam_free, point_free):
+        n2f, f2n = _e_perms(grid)
+        to_flat = (lambda v: v) if n2f is None else (
+            lambda v: v[n2f] if v.ndim == 1 else v[n2f][:, n2f])
+        to_nat = (lambda v: v) if f2n is None else (lambda v: v[f2n])
         params = _params_from(state.cam_vec, state.points, template)
         sp = slot_params(params, grid)
         sys = assemble_grid_system(
@@ -571,13 +618,15 @@ def make_grid_step(options: SolverOptions, template: BAParams,
 
         rhs = (
             -sys.g_c
-            + allsum(jnp.einsum("pic,pij,pj->c", sys.E, binv, sys.g_p))
+            + to_flat(allsum(jnp.einsum("pic,pij,pj->c", sys.E, binv,
+                                        sys.g_p)))
         ) * cam_free
-        corr = allsum(jnp.einsum("pic,pij,pjd->cd", sys.E, binv, sys.E))
+        corr = to_flat(
+            allsum(jnp.einsum("pic,pij,pjd->cd", sys.E, binv, sys.E)))
         S = sys.hcc + jnp.diag(cam_aug) - corr
         dc = masked_spd_solve(S, rhs, cam_free)
 
-        e_dc = jnp.einsum("pic,c->pi", sys.E, dc)
+        e_dc = jnp.einsum("pic,c->pi", sys.E, to_nat(dc))
         dp = -jnp.einsum("pij,pj->pi", binv, sys.g_p + e_dc) * point_free
 
         # model cost change from stored quadratic pieces:

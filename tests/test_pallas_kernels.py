@@ -92,3 +92,34 @@ def test_perm_roundtrip():
     fon = flat_of_native(R, K)
     assert (fon[nof] == np.arange(6 * (R + K))).all()
     assert (nof[fon] == np.arange(6 * (R + K))).all()
+
+
+def test_grid_step_pallas_matches_planes(problem):
+    """Full LM step through the solver with impl='pallas' (interpreted on
+    CPU) must produce the same accept decision, cost, and iterates as the
+    plane-form XLA path — exercises the E native-order wiring end to end."""
+    import jax
+
+    from deeparc_tpu.config import SolverOptions
+    from deeparc_tpu.residuals.reprojection import flatten_camera
+    from deeparc_tpu.solver.rig_grid import init_grid_state, make_grid_step
+
+    scene, grid, free = problem
+    options = SolverOptions(linear_solver="dense_schur")
+    cam_free = flatten_camera(free)
+    point_free = free.points
+
+    outs = {}
+    for impl in ("planes", "pallas"):
+        step = make_grid_step(options, scene.params, chunk_size=32, impl=impl)
+        state = init_grid_state(scene.params, grid, options)
+        state, info = jax.jit(step)(state, grid, cam_free, point_free)
+        state, info = jax.jit(step)(state, grid, cam_free, point_free)
+        outs[impl] = (state, info)
+
+    s_p, i_p = outs["planes"]
+    s_k, i_k = outs["pallas"]
+    assert bool(i_p.accepted) == bool(i_k.accepted)
+    np.testing.assert_allclose(s_k.cost, s_p.cost, rtol=1e-6)
+    np.testing.assert_allclose(s_k.points, s_p.points, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(s_k.cam_vec, s_p.cam_vec, rtol=1e-5, atol=1e-8)
