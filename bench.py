@@ -78,6 +78,11 @@ def measure(args) -> dict:
 
     cfg = build_config(args)
 
+    if args.engine != "grid" and args.impl != "planes":
+        raise SystemExit(
+            f"--impl {args.impl} only applies to --engine grid; "
+            f"the {args.engine} engine has no linearization-kernel variants"
+        )
     if args.engine == "grid":
         from deeparc_tpu.io.synthetic import make_grid_rig_device
         from deeparc_tpu.solver.rig_grid import init_grid_state, make_grid_step
@@ -109,7 +114,7 @@ def measure(args) -> dict:
                                 impl=args.impl)
         step = jax.jit(lambda s, g, cf, pf: g_step(s, g, cf, pf)[0],
                        donate_argnums=(0,))
-        state = init_grid_state(params, grid, options)
+        state = init_grid_state(params, grid, options, impl=args.impl)
         step_args = (grid, cam_free, point_free)
         n_obs_real = int(jnp.sum(grid.mask))
         n_points_real = cfg["n_points"]

@@ -115,7 +115,7 @@ def solve_ba_grid_sharded(
                          for f in GridIndex._fields
                          if f not in sharded_fields})
         p = dataclasses.replace(cam_tables["params"], points=points)
-        state = init_grid_state(p, g, options, axis=axis)
+        state = init_grid_state(p, g, options, axis=axis, impl=impl)
         final = jax.lax.while_loop(
             lambda st: (st.status == 0) & (st.k < options.max_iterations),
             lambda st: step(st, g, cam_free, point_free)[0],

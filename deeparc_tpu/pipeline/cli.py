@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "grid", "indexed"],
                    help="auto = dense grid engine for shared rigs")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans: fail loudly at the first NaN "
+                        "(e.g. a point crossing z=0 in the perspective divide)")
     # filter (defaults: sfm.cc:112,122; DeepArcManager.cc:347-349,387)
     p.add_argument("--error-boundary", type=float, default=5.0)
     p.add_argument("--parity-inverted", action="store_true",
@@ -68,6 +71,10 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "axon")
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
+    if args.debug_nans:
+        from deeparc_tpu.utils.debug import set_nan_debugging
+
+        set_nan_debugging(True)
 
     import jax.numpy as jnp
 

@@ -379,7 +379,7 @@ def assemble_grid_system(
             points, point_free, sp, grid, free_outer, free_inner, free_intr,
             loss=loss, loss_scale=loss_scale,
             block_np=min(chunk_size, 256),
-            interpret=jax.default_backend() == "cpu",
+            interpret=jax.default_backend() != "tpu",
         )
         g_c, hcc = _bin_slot_system(g_slots, hcc_slots, grid, C, dtype)
         return GridSystem(cost=cost, g_p=g_p, hpp=hpp, g_c=g_c, hcc=hcc,
@@ -490,7 +490,7 @@ def grid_cost(
         return pallas_cost(
             points, sp, grid, loss=loss, loss_scale=loss_scale,
             block_np=min(chunk_size, 1024),
-            interpret=jax.default_backend() == "cpu",
+            interpret=jax.default_backend() != "tpu",
         )
     N = points.shape[0]
     T = grid.mask.shape[1]
@@ -699,12 +699,16 @@ def make_grid_step(options: SolverOptions, template: BAParams,
 
 def init_grid_state(
     params: BAParams, grid: GridIndex, options: SolverOptions,
-    axis: str | None = None,
+    axis: str | None = None, impl: str = "planes",
 ) -> GridState:
+    """``impl`` must match the evaluator the solve runs with: state.cost and
+    every trial cost have to come from the SAME (f32-rounding) kernel, or a
+    borderline first-step rho can flip accept/reject."""
     dtype = params.points.dtype
     sp = slot_params(params, grid)
     cost0 = grid_cost(params.points, sp, grid,
-                      loss=options.loss, loss_scale=options.loss_scale)
+                      loss=options.loss, loss_scale=options.loss_scale,
+                      impl=impl)
     if axis is not None:
         cost0 = jax.lax.psum(cost0, axis)
     return GridState(
@@ -735,7 +739,7 @@ def solve_ba_grid(
     cam_free = flatten_camera(free)
     point_free = free.points
     step = make_grid_step(options, params, chunk_size, impl=impl)
-    state = init_grid_state(params, grid, options)
+    state = init_grid_state(params, grid, options, impl=impl)
 
     if driver == "while_loop":
         jit_solve = jax.jit(

@@ -83,3 +83,31 @@ def test_phase_timer():
         pass
     rep = phase_report()
     assert rep["stage_a"]["count"] == 2
+
+
+def test_nan_debugging_fails_loudly_on_degenerate_point():
+    """A point at z=0 hits the unguarded perspective divide
+    (src/snavely_reprojection_error.hh:49-50); with the NaN-debug toggle on
+    this must raise instead of silently propagating NaNs."""
+    import jax.numpy as jnp
+    import pytest
+
+    from deeparc_tpu.residuals.reprojection import residuals as residuals_fn
+    from deeparc_tpu.utils.debug import nan_debugging
+
+    scene, free = _problem()
+    # drive one point onto the z=0 plane of camera (0,0) (world frame ==
+    # camera (0,0) frame, so world z=0 is exactly the degenerate depth)
+    bad_points = scene.params.points.at[0].set(
+        jnp.asarray([0.3, 0.3, 0.0], scene.params.points.dtype)
+    )
+    import dataclasses
+
+    bad_params = dataclasses.replace(scene.params, points=bad_points)
+    with nan_debugging(True):
+        with pytest.raises(FloatingPointError):
+            r = residuals_fn(bad_params, scene.index)
+            r.block_until_ready()
+    # toggle restored: the same evaluation only produces NaNs silently
+    r = residuals_fn(bad_params, scene.index)
+    assert not bool(jnp.all(jnp.isfinite(r)))
