@@ -343,3 +343,125 @@ def make_grid_rig_device(
     params = _dc.replace(params_gt, points=init_points)
     grid = grid._replace(xy0=xy0, xy1=xy1, mask=mask)
     return params, grid, gt_points
+
+
+def make_bal_synthetic(
+    n_cameras: int = 16,
+    n_points: int = 400,
+    rho: float = 3.0,
+    object_radius: float = 1.0,
+    focal: float = 800.0,
+    track_length: float = 6.0,
+    min_track_length: int = 2,
+    dist_size: int = 2,
+    dist_coeffs: tuple = (-0.02, 0.005),
+    pixel_noise: float = 0.0,
+    point_noise: float = 0.0,
+    seed: int = 0,
+) -> SyntheticRig:
+    """Non-shared-extrinsic (BAL-style) synthetic problem with ground truth.
+
+    Cameras are scattered on a sphere of radius ``rho`` looking at a point
+    cloud at the origin — the arbitrary camera-graph case the reference
+    handles through its non-shared mode (``src/ParameterBlock.hh:52-55``:
+    obs columns are (intrinsic_id, extrinsic_id) directly) and Ceres solves
+    with sparse DENSE_SCHUR. Each camera is one intrinsic + one extrinsic;
+    every point sees a random camera subset with mean ``track_length``.
+    """
+    rng = np.random.default_rng(seed)
+
+    # --- camera poses on a view sphere ------------------------------------
+    ext_rot = np.zeros((n_cameras, 3))
+    ext_trans = np.zeros((n_cameras, 3))
+    dirs = rng.normal(size=(n_cameras, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    # avoid the degenerate straight-down axis for the look-at up-hint
+    dirs[:, 1] = np.clip(dirs[:, 1], -0.9, 0.9)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    for c in range(n_cameras):
+        pos = rho * dirs[c]
+        R, t = _look_at(pos, np.zeros(3))
+        ext_rot[c] = _rotmat_to_aa(R)
+        ext_trans[c] = t
+
+    # --- structure ---------------------------------------------------------
+    pts = rng.normal(size=(n_points, 3))
+    pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
+    gt_points = pts * object_radius * np.cbrt(rng.uniform(size=(n_points, 1)))
+    colors = rng.integers(0, 256, size=(n_points, 3)).astype(np.int32)
+
+    # --- intrinsics: one per camera ----------------------------------------
+    image_size = (1024, 1024)
+    cx, cy = image_size[0] / 2.0, image_size[1] / 2.0
+    center = np.tile([cx, cy], (n_cameras, 1))
+    focal_arr = np.zeros((n_cameras, 2))
+    focal_arr[:, 0] = focal * (1.0 + 0.05 * rng.normal(size=n_cameras))
+    dist_arr = np.zeros((n_cameras, 2))
+    if dist_size >= 1:
+        dist_arr[:, 0] = dist_coeffs[0]
+    if dist_size == 2:
+        dist_arr[:, 1] = dist_coeffs[1]
+
+    def aa_to_R(aa):
+        th = np.linalg.norm(aa)
+        if th < 1e-12:
+            return np.eye(3)
+        w = aa / th
+        Kx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        return np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
+
+    visibility = min(track_length / n_cameras, 1.0)
+    obs_cam, obs_point, obs_xy = [], [], []
+    w_img, h_img = image_size
+    for c in range(n_cameras):
+        p = gt_points @ aa_to_R(ext_rot[c]).T + ext_trans[c]
+        z_ok = p[:, 2] > 0.2
+        xp = p[:, 0] / np.where(z_ok, p[:, 2], 1.0)
+        yp = p[:, 1] / np.where(z_ok, p[:, 2], 1.0)
+        r2 = xp * xp + yp * yp
+        distortion = 1.0 + r2 * (dist_arr[c, 0] + dist_arr[c, 1] * r2)
+        u = focal_arr[c, 0] * distortion * xp + cx
+        v = focal_arr[c, 0] * distortion * yp + cy
+        in_img = z_ok & (u >= 0) & (u < w_img) & (v >= 0) & (v < h_img)
+        in_img &= rng.uniform(size=n_points) < visibility
+        idx = np.nonzero(in_img)[0]
+        obs_cam.append(np.full(idx.shape, c, dtype=np.int32))
+        obs_point.append(idx.astype(np.int32))
+        obs_xy.append(np.stack([u[idx], v[idx]], axis=1))
+
+    obs_cam = np.concatenate(obs_cam)
+    obs_point = np.concatenate(obs_point)
+    obs_xy = np.concatenate(obs_xy, axis=0)
+    if pixel_noise > 0:
+        obs_xy = obs_xy + rng.normal(scale=pixel_noise, size=obs_xy.shape)
+
+    counts = np.bincount(obs_point, minlength=n_points)
+    keep = counts >= min_track_length
+    new_index = np.cumsum(keep) - 1
+    mask = keep[obs_point]
+    obs_cam = obs_cam[mask]
+    obs_point = new_index[obs_point[mask]].astype(np.int32)
+    obs_xy = obs_xy[mask]
+    gt_points = gt_points[keep]
+    colors = colors[keep]
+    n_points = gt_points.shape[0]
+
+    init_points = gt_points + (
+        rng.normal(scale=point_noise, size=(n_points, 3))
+        if point_noise > 0 else 0.0
+    )
+
+    data = DeepArcData(
+        version=0.01, share_extrinsic=False, arc_size=n_cameras, ring_size=0,
+        obs_arc=obs_cam, obs_ring=obs_cam.copy(), obs_point=obs_point,
+        obs_xy=obs_xy,
+        center=center, focal=focal_arr,
+        focal_size=np.ones(n_cameras, dtype=np.int32),
+        dist=dist_arr, dist_size=np.full(n_cameras, dist_size, dtype=np.int32),
+        ext_rot=ext_rot.copy(), ext_trans=ext_trans.copy(),
+        points=np.asarray(init_points), colors=colors,
+    )
+    return SyntheticRig(
+        data=data, gt_points=gt_points, gt_ext_rot=ext_rot,
+        gt_ext_trans=ext_trans, image_size=image_size,
+    )

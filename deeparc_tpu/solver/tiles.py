@@ -1,0 +1,928 @@
+"""Tile engine: TPU-fast bundle adjustment for ARBITRARY camera graphs.
+
+This is the at-scale path for problems WITHOUT rig structure (BAL-style
+scenes, the reference's non-shared mode: ``src/ParameterBlock.hh:52-55``
+column semantics + ``src/sfm.cc:67`` DENSE_SCHUR over an arbitrary
+camera-point bipartite graph). The dense-grid engine (rig_grid.py) requires
+``share_extrinsic``; the observation-list engine (ba.py) is correct for any
+graph but leans on XLA gathers / segment-sums which measure far off roofline
+at BA sizes. Measured on the v5e (scripts/microbench_ops.py, M = 4M rows):
+
+    segment-sum, sorted ids, (M,16)->(400k,16):   434 ms   <- ba.py hot path
+    row gather (M,16) from a small table:          20 ms
+    one-hot matmul bin (M,16)->(2048,16), f32:     24 ms
+    dense row-bucket reduce (M/W, W, 16)->(.,16):  13 ms
+
+so the tile engine is laid out to use ONLY the fast ops:
+
+  * **Point-major dense rows.** The observations of one point form one
+    padded row of W slots (W = next power of two >= track length; points
+    are bucketed by W). Every per-point reduction (g_p, H_pp, the
+    E-coupling products, back-substitution) is a dense within-row reduce —
+    the 434 ms sorted segment-sum is GONE. Points are permuted so buckets
+    are contiguous slices: the point side needs zero gathers.
+  * **Cell table.** The distinct (outer-extrinsic, inner-extrinsic,
+    intrinsic) triples form V "cells" (== physical cameras for BAL). All
+    per-slot camera parameters are packed into ONE (V, D) table; per-chunk
+    lookups AND camera-side binning share a single exact one-hot matmul
+    (a 0/1 f32 one-hot selects rows exactly; the MXU does the rest).
+  * **Cell-space reduced camera system.** H_cc is kept as per-cell 18x18
+    Grams (V, 18, 18); H_cc v, the Schur correction E^T B^-1 E v, the
+    block-Jacobi preconditioner, and gradient binning all work in cell
+    space and touch the flat C-vector only through tiny (V*18)-sized
+    scatter-adds / gathers. The C x C matrix is never materialized, so
+    camera count does not cap the engine.
+  * **Fused matvec sweep.** One PCG application of S is ONE chunked sweep
+    over observations (E v, B^-1, E^T all inside the chunk — B^-1 is
+    row-local), not three.
+
+The reduced system is solved matrix-free with PCG (ITERATIVE_SCHUR with
+block-Jacobi, the Ceres SCHUR_JACOBI analogue); LM control flow follows the
+same Ceres trust-region law as the other engines (``src/sfm.cc:66-73``
+configuration). Parity with the indexed engine is asserted in
+tests/test_tiles.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeparc_tpu.config import SolverOptions
+from deeparc_tpu.scene import BAParams, Scene
+from deeparc_tpu.solver import trust_region as tr_mod
+from deeparc_tpu.solver.linalg import inv3x3, pcg
+from deeparc_tpu.solver.loss import rho as loss_rho, weight as loss_weight
+from deeparc_tpu.solver.trust_region import lm_diagonal
+
+# target observations per compiled chunk: rows-per-chunk = CHUNK_OBS // W,
+# so narrow buckets take many rows per chunk and wide buckets few.
+CHUNK_OBS = 8192
+
+
+def rows_per_chunk(width: int, chunk_obs: int = CHUNK_OBS) -> int:
+    return max(chunk_obs // width, 1)
+
+
+class CellTable(NamedTuple):
+    """Distinct camera-slot triples (the "virtual cameras" of the scene).
+
+    Duck-typed to what ``rig_grid.slot_params`` needs, so the cell-level
+    derived quantities (rotation matrices, right Jacobians, focal/distortion
+    slots) come from the exact same code the grid engine uses.
+    """
+
+    slot_outer: jnp.ndarray    # (V,) int32 extrinsic row ids
+    slot_inner: jnp.ndarray    # (V,)
+    slot_intr: jnp.ndarray     # (V,)
+    focal_shared: jnp.ndarray  # (V,)
+    dist_m1: jnp.ndarray       # (V,)
+    dist_m2: jnp.ndarray       # (V,)
+    cols: jnp.ndarray          # (V, 18) flat camera-vector column ids
+
+
+class TileBucket(NamedTuple):
+    """Points whose (padded) track length is W, as dense (Nb, W) planes."""
+
+    cell: jnp.ndarray  # (Nb, W) int32 cell id per slot (0 where masked)
+    xy0: jnp.ndarray   # (Nb, W) observed pixel x
+    xy1: jnp.ndarray   # (Nb, W)
+    mask: jnp.ndarray  # (Nb, W) 1.0 = observed
+
+
+class TileIndex(NamedTuple):
+    cells: CellTable
+    buckets: tuple                 # tuple[TileBucket, ...]
+    row_of_point: jnp.ndarray      # (N_orig,) permuted+padded row per point
+
+
+# ---------------------------------------------------------------------------
+# Host-side builder
+# ---------------------------------------------------------------------------
+
+
+def tiles_from_scene(
+    scene: Scene,
+    free: BAParams | None = None,
+    min_width: int = 4,
+    chunk_obs: int = CHUNK_OBS,
+    dtype=None,
+):
+    """Build the tile layout from any Scene (shared rig or BAL-style).
+
+    Returns ``(tiles, params_t, free_points_t)`` where ``params_t.points``
+    (and the point freeze mask) live in PERMUTED + PADDED row space: bucket
+    b's rows are the contiguous slice following bucket b-1's, each bucket is
+    padded to a multiple of its rows-per-chunk with dead rows (mask 0,
+    point at (0,0,1)), and zero-track points sit in a tail slice. Use
+    :func:`unpermute_points` to map results back.
+    """
+    dtype = dtype or scene.params.points.dtype
+    idx = scene.index
+    obs_point = np.asarray(idx.obs_point)
+    obs_alive = (np.asarray(idx.obs_mask) > 0.5) & (
+        np.asarray(idx.point_mask)[obs_point] > 0.5
+    )
+    outer = np.asarray(idx.obs_outer)[obs_alive]
+    inner = np.asarray(idx.obs_inner)[obs_alive]
+    intr = np.asarray(idx.obs_intr)[obs_alive]
+    xy = np.asarray(idx.obs_xy)[obs_alive]
+    pts_of_obs = obs_point[obs_alive]
+    N = scene.n_points
+    R_rows = scene.params.ext_rot.shape[0]
+
+    # --- cells: unique (outer, inner, intr) triples -----------------------
+    triples = np.stack([outer, inner, intr], axis=1)
+    cells_np, cell_of_obs = np.unique(triples, axis=0, return_inverse=True)
+    cell_of_obs = cell_of_obs.reshape(-1)
+    six = np.arange(6)
+    cols = np.concatenate(
+        [
+            cells_np[:, 0:1] * 6 + six,
+            cells_np[:, 1:2] * 6 + six,
+            6 * R_rows + cells_np[:, 2:3] * 6 + six,
+        ],
+        axis=1,
+    ).astype(np.int32)
+    cells = CellTable(
+        slot_outer=jnp.asarray(cells_np[:, 0], jnp.int32),
+        slot_inner=jnp.asarray(cells_np[:, 1], jnp.int32),
+        slot_intr=jnp.asarray(cells_np[:, 2], jnp.int32),
+        focal_shared=jnp.asarray(
+            np.asarray(idx.focal_shared)[cells_np[:, 2]], dtype),
+        dist_m1=jnp.asarray(np.asarray(idx.dist_m1)[cells_np[:, 2]], dtype),
+        dist_m2=jnp.asarray(np.asarray(idx.dist_m2)[cells_np[:, 2]], dtype),
+        cols=jnp.asarray(cols, jnp.int32),
+    )
+
+    # --- bucket points by padded track length (all-vectorized) ------------
+    track = np.bincount(pts_of_obs, minlength=N).astype(np.int64)
+    width = np.maximum(
+        min_width,
+        1 << np.ceil(np.log2(np.maximum(track, 1))).astype(np.int64),
+    )
+    width[track == 0] = 0
+
+    order = np.argsort(pts_of_obs, kind="stable")
+    sorted_pts = pts_of_obs[order]
+    starts = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(track, out=starts[1:])
+    slot_of_sorted = np.arange(order.size, dtype=np.int64) - starts[sorted_pts]
+
+    widths = sorted(int(w) for w in np.unique(width) if w > 0)
+    buckets = []
+    row_of_point = np.zeros(N, dtype=np.int64)
+    points_rows, free_rows = [], []
+    pts_np = np.asarray(scene.params.points)
+    pfree_np = (
+        np.asarray(free.points) if free is not None
+        else np.asarray(idx.point_mask)[:, None] * np.ones((1, 3))
+    )
+    pad_point = np.array([0.0, 0.0, 1.0])
+    rank = np.full(N, -1, dtype=np.int64)
+    offset = 0
+    for W in widths:
+        members = np.nonzero(width == W)[0]
+        Nb = members.size
+        rpc = rows_per_chunk(W, chunk_obs)
+        Nb_pad = -(-Nb // rpc) * rpc
+        rank[members] = np.arange(Nb)
+
+        sel = np.nonzero(width[sorted_pts] == W)[0]
+        rows = rank[sorted_pts[sel]]
+        slots = slot_of_sorted[sel]
+        src = order[sel]
+
+        cell_b = np.zeros((Nb_pad, W), dtype=np.int32)
+        xy0_b = np.zeros((Nb_pad, W))
+        xy1_b = np.zeros((Nb_pad, W))
+        mask_b = np.zeros((Nb_pad, W))
+        cell_b[rows, slots] = cell_of_obs[src]
+        xy0_b[rows, slots] = xy[src, 0]
+        xy1_b[rows, slots] = xy[src, 1]
+        mask_b[rows, slots] = 1.0
+
+        row_of_point[members] = offset + np.arange(Nb)
+        points_rows.append(np.concatenate(
+            [pts_np[members], np.tile(pad_point, (Nb_pad - Nb, 1))]))
+        free_rows.append(np.concatenate(
+            [pfree_np[members], np.zeros((Nb_pad - Nb, 3))]))
+        buckets.append(TileBucket(
+            cell=jnp.asarray(cell_b),
+            xy0=jnp.asarray(xy0_b, dtype),
+            xy1=jnp.asarray(xy1_b, dtype),
+            mask=jnp.asarray(mask_b, dtype),
+        ))
+        offset += Nb_pad
+
+    # zero-track points: tail slice (no observations; deltas stay zero)
+    tail = np.nonzero(width == 0)[0]
+    if tail.size:
+        row_of_point[tail] = offset + np.arange(tail.size)
+        points_rows.append(pts_np[tail])
+        free_rows.append(np.zeros((tail.size, 3)))
+        offset += tail.size
+
+    points_t = jnp.asarray(
+        np.concatenate(points_rows) if points_rows else np.zeros((1, 3)),
+        dtype,
+    )
+    free_t = jnp.asarray(
+        np.concatenate(free_rows) if free_rows else np.zeros((1, 3)), dtype
+    )
+    tiles = TileIndex(
+        cells=cells,
+        buckets=tuple(buckets),
+        row_of_point=jnp.asarray(row_of_point, jnp.int32),
+    )
+    params_t = dataclasses.replace(scene.params, points=points_t)
+    return tiles, params_t, free_t
+
+
+def unpermute_points(points_t: jnp.ndarray, tiles: TileIndex) -> jnp.ndarray:
+    """Map permuted+padded row space back to original point order."""
+    return points_t[tiles.row_of_point]
+
+
+# ---------------------------------------------------------------------------
+# Packed cell-parameter table (one lookup per chunk serves everything)
+# ---------------------------------------------------------------------------
+
+# packed layout: R_i 0:9 | R_o 9:18 | R_oi 18:27 | t_i 27:30 | t_o 30:33 |
+# Jr_o 33:42 | Jr_i 42:51 | center 51:53 | fx 53 | fy 54 | d0 55 | d1 56 |
+# fs 57 | m1 58 | m2 59 | free18 60:78
+PACKED_DIM = 78
+
+
+def pack_cells(sp, cells: CellTable, cam_free: jnp.ndarray) -> jnp.ndarray:
+    """(V, 78) packed per-cell derived parameters + freeze columns."""
+    V = cells.slot_outer.shape[0]
+    free18 = cam_free[cells.cols]
+    parts = [
+        sp.R_i.reshape(V, 9), sp.R_o.reshape(V, 9), sp.R_oi.reshape(V, 9),
+        sp.t_i, sp.t_o, sp.Jr_o.reshape(V, 9), sp.Jr_i.reshape(V, 9),
+        sp.center, sp.fx[:, None], sp.fy[:, None],
+        sp.d0[:, None], sp.d1[:, None],
+        cells.focal_shared[:, None], cells.dist_m1[:, None],
+        cells.dist_m2[:, None], free18,
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _onehot(ids_flat: jnp.ndarray, V: int, dtype) -> jnp.ndarray:
+    """Exact 0/1 one-hot (rows select table entries exactly under matmul)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ids_flat.shape[0], V), 1)
+    return (ids_flat[:, None] == iota).astype(dtype)
+
+
+def _unpack(sl: jnp.ndarray, B: int, W: int) -> dict:
+    """Packed chunk (B*W, 78) -> dict of per-(row, slot) tensors."""
+    def t(a, b, shape=()):
+        return sl[:, a:b].reshape((B, W) + (shape if shape else (b - a,)))
+
+    return dict(
+        R_i=t(0, 9, (3, 3)), R_o=t(9, 18, (3, 3)), R_oi=t(18, 27, (3, 3)),
+        t_i=t(27, 30), t_o=t(30, 33),
+        Jr_o=t(33, 42, (3, 3)), Jr_i=t(42, 51, (3, 3)),
+        center=t(51, 53),
+        fx=sl[:, 53].reshape(B, W), fy=sl[:, 54].reshape(B, W),
+        d0=sl[:, 55].reshape(B, W), d1=sl[:, 56].reshape(B, W),
+        fs=sl[:, 57].reshape(B, W), m1=sl[:, 58].reshape(B, W),
+        m2=sl[:, 59].reshape(B, W), free18=t(60, 78),
+    )
+
+
+def _project_chunk(pts, c, xy0, xy1, mask):
+    """Residual chain for one chunk (identical math to the grid engine,
+    ``rig_grid.grid_jacobians`` — the closed form of
+    ``src/snavely_reprojection_error.hh:38-118`` — with per-(row, slot)
+    camera quantities instead of per-column)."""
+    p2 = jnp.einsum("bwij,bj->bwi", c["R_i"], pts) + c["t_i"]
+    p3 = jnp.einsum("bwij,bwj->bwi", c["R_o"], p2) + c["t_o"]
+    z = p3[..., 2]
+    # masked slots carry the pad cell; keep z away from 0 for them
+    z = jnp.where(mask > 0.5, z, 1.0)
+    inv_z = 1.0 / z
+    u = p3[..., :2] * inv_z[..., None]
+    r2 = jnp.sum(u * u, axis=-1)
+    dcoef = 1.0 + r2 * (c["d0"] + c["d1"] * r2)
+    f2 = jnp.stack([c["fx"], c["fy"]], axis=-1)
+    pred = f2 * dcoef[..., None] * u + c["center"]
+    r = (pred - jnp.stack([xy0, xy1], axis=-1)) * mask[..., None]
+    return dict(p2=p2, inv_z=inv_z, u=u, r2=r2, dcoef=dcoef, f2=f2, r=r)
+
+
+def _cross(v):
+    """[v]_x for (..., 3)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zr = jnp.zeros_like(x)
+    return jnp.stack(
+        [jnp.stack([zr, -z, y], -1), jnp.stack([z, zr, -x], -1),
+         jnp.stack([-y, x, zr], -1)], axis=-2)
+
+
+def _linearize_chunk(pts, c, xy0, xy1, mask, point_free, loss, loss_scale):
+    """Closed-form Jacobian blocks for one chunk (masked + freeze-masked).
+
+    Returns (cost, r (B,W,2), j_x (B,W,2,3), j_cam (B,W,2,18),
+    g_p (B,3), hpp (B,3,3)). Derivative chain as in
+    ``rig_grid.grid_jacobians`` (rotation derivatives via
+    d(R(w) v)/dw = -R(w) [v]_x J_r(w), matching Ceres' Jets through the
+    global angle-axis parameterization).
+    """
+    pc = _project_chunk(pts, c, xy0, xy1, mask)
+    u, inv_z, r2, dcoef, f2 = (
+        pc["u"], pc["inv_z"], pc["r2"], pc["dcoef"], pc["f2"]
+    )
+    r = pc["r"]
+    raw_s = jnp.sum(r * r, axis=-1)
+    cost = 0.5 * jnp.sum(loss_rho(raw_s, loss, loss_scale) * mask)
+    mfac = mask
+    if loss != "trivial":
+        w = loss_weight(raw_s, loss, loss_scale)
+        r = r * w[..., None]
+        mfac = mask * w
+
+    zero = jnp.zeros_like(inv_z)
+    du_dp = jnp.stack(
+        [
+            jnp.stack([inv_z, zero, -u[..., 0] * inv_z], axis=-1),
+            jnp.stack([zero, inv_z, -u[..., 1] * inv_z], axis=-1),
+        ],
+        axis=-2,
+    )                                             # (B, W, 2, 3)
+    ddcoef = c["d0"] + 2.0 * c["d1"] * r2
+    dr2_dp = 2.0 * jnp.einsum("bwk,bwka->bwa", u, du_dp)
+    dres_dp = f2[..., None] * (
+        dcoef[..., None, None] * du_dp
+        + u[..., None] * (ddcoef[..., None] * dr2_dp)[..., None, :]
+    )
+    dres_dp = dres_dp * mfac[..., None, None]
+
+    j_x = jnp.einsum("nwka,nwab->nwkb", dres_dp, c["R_oi"])
+    j_to = dres_dp
+    j_ti = jnp.einsum("nwka,nwab->nwkb", dres_dp, c["R_o"])
+    dp3_dwo = -jnp.einsum(
+        "bwij,bwjk,bwkl->bwil", c["R_o"], _cross(pc["p2"]), c["Jr_o"])
+    j_wo = jnp.einsum("nwka,nwab->nwkb", dres_dp, dp3_dwo)
+    dp3_dwi = -jnp.einsum(
+        "bwij,bjk,bwkl->bwil", c["R_oi"], _cross(pts), c["Jr_i"])
+    j_wi = jnp.einsum("nwka,nwab->nwkb", dres_dp, dp3_dwi)
+
+    # intrinsics: [cx, cy, f0, f1, d0, d1]
+    eye2 = jnp.eye(2, dtype=r.dtype)
+    j_center = jnp.broadcast_to(eye2, r.shape + (2,)) * mfac[..., None, None]
+    du_term = dcoef[..., None] * u
+    sh = c["fs"] > 0.5
+    j_f0 = jnp.stack(
+        [du_term[..., 0], jnp.where(sh, du_term[..., 1], 0.0)], axis=-1)
+    j_f1 = jnp.stack(
+        [jnp.zeros_like(r2), jnp.where(sh, 0.0, du_term[..., 1])], axis=-1)
+    j_focal = jnp.stack([j_f0, j_f1], axis=-1) * mfac[..., None, None]
+    fu = f2 * u
+    j_d0 = fu * (r2 * c["m1"])[..., None]
+    j_d1 = fu * (r2 * r2 * c["m2"])[..., None]
+    j_dist = jnp.stack([j_d0, j_d1], axis=-1) * mfac[..., None, None]
+    j_intr = jnp.concatenate([j_center, j_focal, j_dist], axis=-1)
+
+    j_cam = jnp.concatenate([j_wo, j_to, j_wi, j_ti, j_intr], axis=-1)
+    j_cam = j_cam * c["free18"][:, :, None, :]
+    j_x = j_x * point_free[:, None, None, :]
+
+    g_p = jnp.einsum("bwki,bwk->bi", j_x, r)
+    hpp = jnp.einsum("bwki,bwkj->bij", j_x, j_x)
+    return cost, r, j_x, j_cam, g_p, hpp
+
+
+# ---------------------------------------------------------------------------
+# Chunked bucket sweeps
+# ---------------------------------------------------------------------------
+
+
+class BucketBlocks(NamedTuple):
+    r: jnp.ndarray      # (Nb, W, 2) masked (+loss-weighted) residuals
+    j_x: jnp.ndarray    # (Nb, W, 2, 3) point-freeze-masked
+    j_cam: jnp.ndarray  # (Nb, W, 2, 18) camera-freeze-masked
+
+
+class TileSystem(NamedTuple):
+    cost: jnp.ndarray
+    g_p: jnp.ndarray        # (Nrows, 3)
+    hpp: jnp.ndarray        # (Nrows, 3, 3)
+    g_c: jnp.ndarray        # (C,)
+    hcc_cells: jnp.ndarray  # (V, 18, 18)
+    hcc_diag: jnp.ndarray   # (C,)
+    blocks: tuple           # tuple[BucketBlocks, ...] aligned with buckets
+
+
+def _chunks(arr, B):
+    n = arr.shape[0] // B
+    return arr.reshape((n, B) + arr.shape[1:])
+
+
+def cells_to_flat(vals: jnp.ndarray, cols: jnp.ndarray, C: int) -> jnp.ndarray:
+    """(V, 18) cell-space values -> flat (C,) camera vector (tiny scatter)."""
+    return jnp.zeros((C,), vals.dtype).at[cols.reshape(-1)].add(
+        vals.reshape(-1))
+
+
+def flat_to_cells(v: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+    """Flat (C,) -> cell-space (V, 18) (tiny gather)."""
+    return v[cols]
+
+
+def linearize_tiles(
+    points_t: jnp.ndarray,
+    packed: jnp.ndarray,
+    tiles: TileIndex,
+    point_free_t: jnp.ndarray,
+    C: int,
+    chunk_obs: int = CHUNK_OBS,
+    loss: str = "trivial",
+    loss_scale: float = 0.5,
+) -> TileSystem:
+    """One full linearization over all buckets."""
+    V = packed.shape[0]
+    dtype = points_t.dtype
+    cols = tiles.cells.cols
+
+    cost_total = jnp.zeros((), dtype)
+    g_p_parts, hpp_parts, blocks = [], [], []
+    g_cells = jnp.zeros((V, 18), dtype)
+    hcc_cells = jnp.zeros((V, 18, 18), dtype)
+
+    offset = 0
+    for b in tiles.buckets:
+        Nb, W = b.cell.shape
+        B = rows_per_chunk(W, chunk_obs)
+        pts_b = points_t[offset: offset + Nb]
+        pf_b = point_free_t[offset: offset + Nb]
+
+        def chunk_fn(args, B=B, W=W):
+            pts, pf, cell, xy0, xy1, msk = args
+            oh = _onehot(cell.reshape(-1), V, dtype)          # (B*W, V)
+            sl = jnp.dot(oh, packed, preferred_element_type=dtype)
+            c = _unpack(sl, B, W)
+            cost, r, j_x, j_cam, g_p, hpp = _linearize_chunk(
+                pts, c, xy0, xy1, msk, pf, loss, loss_scale)
+            # camera-side binning shares the chunk's one-hot
+            g18 = jnp.einsum("bwkc,bwk->bwc", j_cam, r).reshape(B * W, 18)
+            gc = jnp.dot(oh.T, g18, preferred_element_type=dtype)
+            h18 = jnp.einsum("bwki,bwkj->bwij", j_cam, j_cam)
+            hc = jnp.dot(
+                oh.T, h18.reshape(B * W, 324), preferred_element_type=dtype
+            ).reshape(V, 18, 18)
+            return cost, r, j_x, j_cam, g_p, hpp, gc, hc
+
+        out = jax.lax.map(
+            chunk_fn,
+            (_chunks(pts_b, B), _chunks(pf_b, B), _chunks(b.cell, B),
+             _chunks(b.xy0, B), _chunks(b.xy1, B), _chunks(b.mask, B)),
+        )
+        cost_c, r_c, jx_c, jcam_c, gp_c, hpp_c, gc_c, hc_c = out
+        cost_total = cost_total + jnp.sum(cost_c)
+        g_p_parts.append(gp_c.reshape(Nb, 3))
+        hpp_parts.append(hpp_c.reshape(Nb, 3, 3))
+        blocks.append(BucketBlocks(
+            r=r_c.reshape(Nb, W, 2),
+            j_x=jx_c.reshape(Nb, W, 2, 3),
+            j_cam=jcam_c.reshape(Nb, W, 2, 18),
+        ))
+        g_cells = g_cells + jnp.sum(gc_c, axis=0)
+        hcc_cells = hcc_cells + jnp.sum(hc_c, axis=0)
+        offset += Nb
+
+    tail = points_t.shape[0] - offset
+    if tail > 0:
+        g_p_parts.append(jnp.zeros((tail, 3), dtype))
+        hpp_parts.append(jnp.zeros((tail, 3, 3), dtype))
+
+    return TileSystem(
+        cost=cost_total,
+        g_p=jnp.concatenate(g_p_parts),
+        hpp=jnp.concatenate(hpp_parts),
+        g_c=cells_to_flat(g_cells, cols, C),
+        hcc_cells=hcc_cells,
+        hcc_diag=cells_to_flat(
+            jnp.diagonal(hcc_cells, axis1=-2, axis2=-1), cols, C),
+        blocks=tuple(blocks),
+    )
+
+
+def tile_cost(
+    points_t: jnp.ndarray,
+    packed: jnp.ndarray,
+    tiles: TileIndex,
+    chunk_obs: int = CHUNK_OBS,
+    loss: str = "trivial",
+    loss_scale: float = 0.5,
+) -> jnp.ndarray:
+    """Residual-only robustified cost (the trial-evaluation pass)."""
+    V = packed.shape[0]
+    dtype = points_t.dtype
+    total = jnp.zeros((), dtype)
+    offset = 0
+    for b in tiles.buckets:
+        Nb, W = b.cell.shape
+        B = rows_per_chunk(W, chunk_obs)
+        pts_b = points_t[offset: offset + Nb]
+
+        def chunk_fn(args, B=B, W=W):
+            pts, cell, xy0, xy1, msk = args
+            oh = _onehot(cell.reshape(-1), V, dtype)
+            sl = jnp.dot(oh, packed, preferred_element_type=dtype)
+            c = _unpack(sl, B, W)
+            pc = _project_chunk(pts, c, xy0, xy1, msk)
+            s = jnp.sum(pc["r"] * pc["r"], axis=-1)
+            return 0.5 * jnp.sum(loss_rho(s, loss, loss_scale) * msk)
+
+        costs = jax.lax.map(
+            chunk_fn,
+            (_chunks(pts_b, B), _chunks(b.cell, B),
+             _chunks(b.xy0, B), _chunks(b.xy1, B), _chunks(b.mask, B)),
+        )
+        total = total + jnp.sum(costs)
+        offset += Nb
+    return total
+
+
+def _e_sweep(
+    tiles: TileIndex,
+    sys: TileSystem,
+    binv: jnp.ndarray,
+    v_cells,
+    rhs_mode: bool,
+    chunk_obs: int = CHUNK_OBS,
+) -> jnp.ndarray:
+    """One fused observation sweep, binned to cell space (V, 18).
+
+    rhs_mode=True:  E^T B^-1 g_p.
+    rhs_mode=False: the Schur correction E^T B^-1 E v for cell-space v.
+    B^-1 is row-local, so E v -> B^-1 -> E^T happens inside each chunk.
+    """
+    V = sys.hcc_cells.shape[0]
+    dtype = sys.g_p.dtype
+    out = jnp.zeros((V, 18), dtype)
+    offset = 0
+    for b, blk in zip(tiles.buckets, sys.blocks):
+        Nb, W = b.cell.shape
+        B = rows_per_chunk(W, chunk_obs)
+        binv_b = binv[offset: offset + Nb]
+        gp_b = sys.g_p[offset: offset + Nb]
+
+        def chunk_fn(args, B=B, W=W):
+            cell, j_x, j_cam, binv_c, gp_c = args
+            oh = _onehot(cell.reshape(-1), V, dtype)
+            if rhs_mode:
+                w = jnp.einsum("bij,bj->bi", binv_c, gp_c)
+            else:
+                vslot = jnp.dot(
+                    oh, v_cells, preferred_element_type=dtype
+                ).reshape(B, W, 18)
+                t = jnp.einsum("bwkc,bwc->bwk", j_cam, vslot)
+                ev = jnp.einsum("bwki,bwk->bi", j_x, t)
+                w = jnp.einsum("bij,bj->bi", binv_c, ev)
+            t2 = jnp.einsum("bwki,bi->bwk", j_x, w)
+            u = jnp.einsum("bwkc,bwk->bwc", j_cam, t2)
+            return jnp.dot(oh.T, u.reshape(B * W, 18),
+                           preferred_element_type=dtype)
+
+        parts = jax.lax.map(
+            chunk_fn,
+            (_chunks(b.cell, B), _chunks(blk.j_x, B), _chunks(blk.j_cam, B),
+             _chunks(binv_b, B), _chunks(gp_b, B)),
+        )
+        out = out + jnp.sum(parts, axis=0)
+        offset += Nb
+    return out
+
+
+def _e_dot_cells(
+    tiles: TileIndex,
+    sys: TileSystem,
+    v_cells: jnp.ndarray,
+    chunk_obs: int = CHUNK_OBS,
+) -> jnp.ndarray:
+    """(E v) per point row (Nrows, 3), for cell-space v."""
+    V = sys.hcc_cells.shape[0]
+    dtype = sys.g_p.dtype
+    parts = []
+    used = 0
+    for b, blk in zip(tiles.buckets, sys.blocks):
+        Nb, W = b.cell.shape
+        B = rows_per_chunk(W, chunk_obs)
+
+        def chunk_fn(args, B=B, W=W):
+            cell, j_x, j_cam = args
+            oh = _onehot(cell.reshape(-1), V, dtype)
+            vslot = jnp.dot(
+                oh, v_cells, preferred_element_type=dtype
+            ).reshape(B, W, 18)
+            t = jnp.einsum("bwkc,bwc->bwk", j_cam, vslot)
+            return jnp.einsum("bwki,bwk->bi", j_x, t)
+
+        ev = jax.lax.map(
+            chunk_fn,
+            (_chunks(b.cell, B), _chunks(blk.j_x, B), _chunks(blk.j_cam, B)),
+        )
+        parts.append(ev.reshape(Nb, 3))
+        used += Nb
+    tail = sys.g_p.shape[0] - used
+    if tail > 0:
+        parts.append(jnp.zeros((tail, 3), dtype))
+    return jnp.concatenate(parts)
+
+
+# ---------------------------------------------------------------------------
+# The LM step
+# ---------------------------------------------------------------------------
+
+
+class TileState(NamedTuple):
+    points: jnp.ndarray   # (Nrows, 3) permuted+padded
+    cam_vec: jnp.ndarray  # (C,)
+    cost: jnp.ndarray
+    tr: tr_mod.TRState
+    k: jnp.ndarray
+    status: jnp.ndarray
+
+
+def _cell_slot_params(params: BAParams, cells: CellTable):
+    from deeparc_tpu.solver.rig_grid import slot_params
+
+    return slot_params(params, cells)
+
+
+def _block_jacobi(sys: TileSystem, cells: CellTable, cam_aug, cam_free,
+                  C: int):
+    """6x6 block-Jacobi preconditioner assembled in cell space (the Ceres
+    SCHUR_JACOBI analogue, camera-count independent)."""
+    dtype = sys.hcc_cells.dtype
+    n_rows6 = C // 6
+    blocks = jnp.zeros((n_rows6, 6, 6), dtype)
+    group_rows = (
+        (cells.cols[:, 0] // 6, slice(0, 6)),
+        (cells.cols[:, 6] // 6, slice(6, 12)),
+        (cells.cols[:, 12] // 6, slice(12, 18)),
+    )
+    for row_ids, sl in group_rows:
+        blocks = blocks.at[row_ids].add(sys.hcc_cells[:, sl, sl])
+    aug = cam_aug.reshape(n_rows6, 6)
+    frozen = 1.0 - cam_free.reshape(n_rows6, 6)
+    eye6 = jnp.eye(6, dtype=dtype)
+    blocks = blocks + eye6 * (aug + frozen)[:, :, None]
+    inv_blocks = jnp.linalg.inv(blocks)
+
+    def precond(v):
+        vb = v.reshape(n_rows6, 6)
+        return jnp.einsum("bij,bj->bi", inv_blocks, vb).reshape(-1)
+
+    return precond
+
+
+def make_tile_step(options: SolverOptions, template: BAParams,
+                   chunk_obs: int = CHUNK_OBS, axis: str | None = None):
+    """Pure LM step over the tile layout:
+    step(state, tiles, cam_free, point_free_t) -> (state, info).
+
+    With ``axis`` set the step is SPMD over that mesh axis: point rows (and
+    bucket planes) are sharded; all cell-space reductions, the trial cost,
+    and trust-region scalars are psum'd, exactly like the grid engine's
+    distributed mode (SURVEY.md section 2.5).
+    """
+    from deeparc_tpu.residuals.reprojection import camera_dim, unflatten_camera
+    from deeparc_tpu.solver.ba import StepInfo
+
+    C = camera_dim(template)
+
+    if axis is None:
+        allsum = allmax = lambda x: x
+    else:
+        allsum = lambda x: jax.lax.psum(x, axis)
+        allmax = lambda x: jax.lax.pmax(x, axis)
+
+    def _params_from(cam_vec, points):
+        out = unflatten_camera(cam_vec, template)
+        return dataclasses.replace(out, points=points)
+
+    def step(state: TileState, tiles: TileIndex, cam_free, point_free_t):
+        cols = tiles.cells.cols
+        dtype = state.points.dtype
+        params = _params_from(state.cam_vec, state.points)
+        sp = _cell_slot_params(params, tiles.cells)
+        packed = pack_cells(sp, tiles.cells, cam_free)
+
+        sys = linearize_tiles(
+            state.points, packed, tiles, point_free_t, C, chunk_obs,
+            options.loss, options.loss_scale)
+        sys = sys._replace(
+            cost=allsum(sys.cost),
+            g_c=allsum(sys.g_c),
+            hcc_cells=allsum(sys.hcc_cells),
+            hcc_diag=allsum(sys.hcc_diag),
+        )
+
+        # augmented per-point blocks
+        diag = jnp.diagonal(sys.hpp, axis1=-2, axis2=-1)
+        d2p = lm_diagonal(diag, options.min_lm_diagonal,
+                          options.max_lm_diagonal)
+        eye3 = jnp.eye(3, dtype=dtype)
+        aug = sys.hpp + eye3 * d2p[:, :, None] / state.tr.radius
+        aug = aug + (1.0 - point_free_t)[:, :, None] * eye3
+        binv = inv3x3(aug)
+
+        d2c = lm_diagonal(sys.hcc_diag, options.min_lm_diagonal,
+                          options.max_lm_diagonal)
+        cam_aug = d2c / state.tr.radius
+
+        rhs_cells = allsum(
+            _e_sweep(tiles, sys, binv, None, True, chunk_obs))
+        rhs = (-sys.g_c + cells_to_flat(rhs_cells, cols, C)) * cam_free
+
+        def hcc_matvec(v):
+            v_cells = flat_to_cells(v, cols)
+            out = jnp.einsum("vij,vj->vi", sys.hcc_cells, v_cells)
+            return cells_to_flat(out, cols, C)
+
+        def matvec(v):
+            vm = v * cam_free
+            v_cells = flat_to_cells(vm, cols)
+            corr_cells = allsum(
+                _e_sweep(tiles, sys, binv, v_cells, False, chunk_obs))
+            s = (hcc_matvec(vm) + cam_aug * v
+                 - cells_to_flat(corr_cells, cols, C))
+            return jnp.where(cam_free > 0.5, s, v)
+
+        precond = _block_jacobi(sys, tiles.cells, cam_aug, cam_free, C)
+        result = pcg(
+            matvec, rhs, precond=precond,
+            max_iterations=options.cg_max_iterations,
+            tol=options.cg_tolerance,
+        )
+        dc = result.x * cam_free
+
+        dc_cells = flat_to_cells(dc, cols)
+        e_dc = _e_dot_cells(tiles, sys, dc_cells, chunk_obs)
+        dp = -jnp.einsum("bij,bj->bi", binv, sys.g_p + e_dc) * point_free_t
+
+        # model cost change from the quadratic pieces
+        dtg = allsum(jnp.vdot(dp, sys.g_p)) + jnp.vdot(dc, sys.g_c)
+        dhd = (
+            allsum(
+                jnp.einsum("bi,bij,bj->", dp, sys.hpp, dp)
+                + 2.0 * jnp.vdot(dp.reshape(-1), e_dc.reshape(-1))
+            )
+            + jnp.vdot(dc, hcc_matvec(dc))
+        )
+        mcc = -(dtg + 0.5 * dhd)
+
+        new_points = state.points + dp
+        new_cam = state.cam_vec + dc
+        trial_params = _params_from(new_cam, new_points)
+        trial_packed = pack_cells(
+            _cell_slot_params(trial_params, tiles.cells), tiles.cells,
+            cam_free)
+        new_cost = allsum(tile_cost(
+            new_points, trial_packed, tiles, chunk_obs,
+            options.loss, options.loss_scale))
+
+        rho = (state.cost - new_cost) / jnp.maximum(mcc, 1e-300)
+        accept = (mcc > 0) & (rho > options.min_relative_decrease)
+
+        tr_next = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b),
+            tr_mod.step_accepted(state.tr, rho, options.max_radius),
+            tr_mod.step_rejected(state.tr),
+        )
+        points_next = jnp.where(accept, new_points, state.points)
+        cam_next = jnp.where(accept, new_cam, state.cam_vec)
+        cost_next = jnp.where(accept, new_cost, state.cost)
+
+        grad_max = jnp.maximum(
+            jnp.max(jnp.abs(sys.g_c)), allmax(jnp.max(jnp.abs(sys.g_p)))
+        )
+        step_norm = jnp.sqrt(allsum(jnp.vdot(dp, dp)) + jnp.vdot(dc, dc))
+        x_norm = jnp.sqrt(
+            allsum(jnp.vdot(state.points, state.points))
+            + jnp.vdot(state.cam_vec, state.cam_vec)
+        )
+        cost_change = state.cost - new_cost
+        ftol = accept & (
+            jnp.abs(cost_change) <= options.function_tolerance * state.cost
+        )
+        ptol = accept & (
+            step_norm <= options.parameter_tolerance
+            * (x_norm + options.parameter_tolerance)
+        )
+        gtol = grad_max <= options.gradient_tolerance
+        radius_min = tr_next.radius <= options.min_radius
+        status = jnp.where(
+            gtol, 3,
+            jnp.where(ftol, 2, jnp.where(ptol, 4, jnp.where(radius_min, 5, 0))),
+        )
+        next_state = TileState(
+            points=points_next, cam_vec=cam_next, cost=cost_next,
+            tr=tr_next, k=state.k + 1, status=jnp.asarray(status),
+        )
+        info = StepInfo(
+            cost=cost_next, cost_change=cost_change, grad_max=grad_max,
+            step_norm=step_norm, radius=state.tr.radius, rho=rho,
+            accepted=accept,
+        )
+        return next_state, info
+
+    return step
+
+
+def init_tile_state(
+    params_t: BAParams, tiles: TileIndex, options: SolverOptions,
+    cam_free=None, axis: str | None = None, chunk_obs: int = CHUNK_OBS,
+) -> TileState:
+    from deeparc_tpu.residuals.reprojection import flatten_camera
+
+    dtype = params_t.points.dtype
+    if cam_free is None:
+        cam_free = jnp.ones(
+            6 * params_t.ext_rot.shape[0] + 6 * params_t.center.shape[0],
+            dtype)
+    sp = _cell_slot_params(params_t, tiles.cells)
+    packed = pack_cells(sp, tiles.cells, cam_free)
+    cost0 = tile_cost(params_t.points, packed, tiles, chunk_obs,
+                      options.loss, options.loss_scale)
+    if axis is not None:
+        cost0 = jax.lax.psum(cost0, axis)
+    return TileState(
+        points=params_t.points,
+        cam_vec=flatten_camera(params_t),
+        cost=cost0,
+        tr=tr_mod.init_tr(options.initial_radius, dtype),
+        k=jnp.asarray(0),
+        status=jnp.asarray(0),
+    )
+
+
+def solve_ba_tiles(
+    scene: Scene,
+    free: BAParams,
+    options: SolverOptions = SolverOptions(),
+    driver: str = "python",
+    chunk_obs: int = CHUNK_OBS,
+    min_width: int = 4,
+):
+    """LM to convergence on the tile engine, from a Scene.
+
+    Returns a solver.ba.BAResult with points back in original order.
+    """
+    import time as _time
+
+    from deeparc_tpu.residuals.reprojection import (
+        flatten_camera, unflatten_camera,
+    )
+    from deeparc_tpu.solver.ba import BAResult
+
+    tiles, params_t, free_t = tiles_from_scene(
+        scene, free, min_width=min_width, chunk_obs=chunk_obs)
+    cam_free = flatten_camera(free)
+    step = make_tile_step(options, params_t, chunk_obs)
+    state = init_tile_state(params_t, tiles, options, cam_free,
+                            chunk_obs=chunk_obs)
+
+    def finish(st, k):
+        out = unflatten_camera(st.cam_vec, params_t)
+        out = dataclasses.replace(
+            out, points=unpermute_points(st.points, tiles))
+        return BAResult(
+            params=out, cost=float(st.cost),
+            iterations=int(k), status=int(st.status),
+        )
+
+    if driver == "while_loop":
+        jit_solve = jax.jit(
+            lambda s, t, cf, pf: jax.lax.while_loop(
+                lambda st: (st.status == 0) & (st.k < options.max_iterations),
+                lambda st: step(st, t, cf, pf)[0],
+                s,
+            )
+        )
+        final = jit_solve(state, tiles, cam_free, free_t)
+        return finish(final, int(final.k))
+
+    jit_step = jax.jit(step)
+    t0 = _time.time()
+    k = 0
+    while int(state.status) == 0 and k < options.max_iterations:
+        if _time.time() - t0 > options.max_seconds:
+            break
+        state, info = jit_step(state, tiles, cam_free, free_t)
+        k += 1
+        if options.progress_to_stdout:
+            print(f"{k:>4} {float(info.cost):>14.6e}"
+                  f" {float(info.cost_change):>12.4e}"
+                  f" {float(info.grad_max):>11.4e}"
+                  f" {float(info.radius):>10.3e} {float(info.rho):>9.3f}"
+                  f" {bool(info.accepted)!s:>6}")
+    return finish(state, k)

@@ -1,0 +1,142 @@
+"""Tile engine (solver/tiles.py) parity vs the indexed engine.
+
+The tile engine must reproduce the observation-list engine's math exactly
+(same residual model, same LM law, same ITERATIVE_SCHUR solve) on ANY scene:
+BAL-style non-shared camera graphs and shared-extrinsic rigs alike.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeparc_tpu.config import SolverOptions
+from deeparc_tpu.io.synthetic import make_bal_synthetic, make_hemisphere_rig
+from deeparc_tpu.residuals.reprojection import flatten_camera
+from deeparc_tpu.scene import freeze_masks, from_deeparc
+from deeparc_tpu.solver.ba import (
+    init_state, make_step_pure, robust_cost, solve_ba,
+)
+from deeparc_tpu.solver.tiles import (
+    init_tile_state,
+    make_tile_step,
+    solve_ba_tiles,
+    tiles_from_scene,
+    unpermute_points,
+)
+
+CHUNK = 64  # small chunks so tests exercise multi-chunk paths
+
+
+@pytest.fixture(scope="module", params=["bal", "rig"])
+def problem(request):
+    if request.param == "bal":
+        rig = make_bal_synthetic(
+            n_cameras=12, n_points=150, track_length=5.0,
+            pixel_noise=0.5, point_noise=0.03, seed=3,
+        )
+    else:
+        rig = make_hemisphere_rig(
+            n_arc=3, n_ring=5, n_points=80, pixel_noise=0.5,
+            point_noise=0.03, visibility=0.7, seed=3,
+        )
+    scene = from_deeparc(rig.data)
+    free = freeze_masks(scene)
+    return scene, free
+
+
+def test_tile_layout_roundtrip(problem):
+    scene, free = problem
+    tiles, params_t, free_t = tiles_from_scene(scene, free, chunk_obs=CHUNK)
+    # every original point appears exactly once in row space
+    rows = np.asarray(tiles.row_of_point)
+    assert np.unique(rows).size == scene.n_points
+    back = unpermute_points(params_t.points, tiles)
+    np.testing.assert_allclose(
+        np.asarray(back), np.asarray(scene.params.points), rtol=0, atol=0)
+    # observation count preserved
+    n_slots = sum(float(jnp.sum(b.mask)) for b in tiles.buckets)
+    assert int(n_slots) == scene.n_obs
+
+
+def test_tile_cost_matches_indexed(problem):
+    scene, free = problem
+    opts = SolverOptions()
+    tiles, params_t, _ = tiles_from_scene(scene, free, chunk_obs=CHUNK)
+    st = init_tile_state(params_t, tiles, opts, flatten_camera(free),
+                         chunk_obs=CHUNK)
+    expected = robust_cost(scene.params, scene.index, opts)
+    np.testing.assert_allclose(float(st.cost), float(expected), rtol=1e-12)
+
+
+@pytest.mark.parametrize("loss", ["trivial", "cauchy"])
+def test_tile_step_matches_indexed_step(problem, loss):
+    scene, free = problem
+    opts = SolverOptions(
+        linear_solver="iterative_schur", cg_max_iterations=100,
+        cg_tolerance=1e-14, loss=loss,
+    )
+    cam_free = flatten_camera(free)
+
+    i_step = make_step_pure(opts)
+    i_state = init_state(scene.params, scene.index, opts)
+    i_next, i_info = i_step(i_state, scene.index, cam_free, free.points)
+
+    tiles, params_t, free_t = tiles_from_scene(scene, free, chunk_obs=CHUNK)
+    t_step = make_tile_step(opts, params_t, chunk_obs=CHUNK)
+    t_state = init_tile_state(params_t, tiles, opts, cam_free,
+                              chunk_obs=CHUNK)
+    t_next, t_info = t_step(t_state, tiles, cam_free, free_t)
+
+    np.testing.assert_allclose(
+        float(t_info.cost), float(i_info.cost), rtol=1e-9)
+    np.testing.assert_allclose(
+        float(t_info.rho), float(i_info.rho), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(unpermute_points(t_next.points, tiles)),
+        np.asarray(i_next.params.points), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(t_next.cam_vec),
+        np.asarray(flatten_camera(i_next.params)), rtol=1e-7, atol=1e-10)
+
+
+def test_tile_solve_reaches_same_minimum(problem):
+    scene, free = problem
+    opts = SolverOptions(
+        linear_solver="iterative_schur", cg_max_iterations=100,
+        cg_tolerance=1e-12, max_iterations=25,
+    )
+    a = solve_ba(scene.params, scene.index, free, opts)
+    b = solve_ba_tiles(scene, free, opts, chunk_obs=CHUNK)
+    np.testing.assert_allclose(float(b.cost), float(a.cost), rtol=1e-6)
+
+
+def test_tile_while_loop_driver(problem):
+    scene, free = problem
+    opts = SolverOptions(
+        linear_solver="iterative_schur", cg_max_iterations=60,
+        max_iterations=5,
+    )
+    a = solve_ba_tiles(scene, free, opts, chunk_obs=CHUNK)
+    b = solve_ba_tiles(scene, free, opts, driver="while_loop",
+                       chunk_obs=CHUNK)
+    np.testing.assert_allclose(float(b.cost), float(a.cost), rtol=1e-9)
+
+
+def test_tile_freeze_camera_presolve(problem):
+    """freeze_camera=True (the reference's triangulation-only pre-solve,
+    src/sfm.cc:54-57) must leave every camera parameter bit-identical."""
+    scene, free_all = problem
+    free = freeze_masks(scene, freeze_camera=True)
+    opts = SolverOptions(
+        linear_solver="iterative_schur", cg_max_iterations=40,
+        max_iterations=3,
+    )
+    out = solve_ba_tiles(scene, free, opts, chunk_obs=CHUNK)
+    np.testing.assert_array_equal(
+        np.asarray(out.params.ext_rot), np.asarray(scene.params.ext_rot))
+    np.testing.assert_array_equal(
+        np.asarray(out.params.focal), np.asarray(scene.params.focal))
+    assert float(out.cost) <= float(
+        robust_cost(scene.params, scene.index, opts)) + 1e-9
