@@ -1,25 +1,39 @@
 #!/usr/bin/env python
-"""Benchmark: BA LM iterations/sec on the synthetic hemisphere rig.
+"""Benchmark: BA LM iterations/sec on synthetic problems.
 
 Prints ONE JSON line:
     {"metric": "ba_iterations_per_sec", "value": ..., "unit": "iter/s",
      "vs_baseline": ...}
 
 The reference publishes no numbers (BASELINE.md); the operative target is
->= 5x CPU-Ceres-equivalent BA iterations/sec (BASELINE.json). The baseline
-here is the same solver on the CPU backend (measured once per problem config
-in a subprocess and cached in .bench_cache.json); ``vs_baseline`` is
-TPU-iter/s over CPU-iter/s.
+>= 5x CPU-Ceres-equivalent BA iterations/sec (BASELINE.json). ``vs_baseline``
+is TPU-iter/s over the same solver on the CPU backend (measured once per
+problem config in a subprocess, cached in .bench_cache.json).
 
 One "iteration" = one full LM step: residual + Jacobian blocks, Schur
-elimination of all points, reduced camera solve (fixed 30-iteration PCG so
-work per step is deterministic), trial cost, trust-region update — the same
-unit Ceres reports per line of its minimizer progress.
+elimination of all points, reduced camera solve, trial cost, trust-region
+update — the same unit Ceres reports per line of its minimizer progress.
+
+Engines / configs:
+  --engine grid   dense (N x cells) rig engine. Default config is the
+                  SPARSE-visibility rig (mean track ~10 of 192 cells —
+                  ~19x masked overcompute, kept for cross-round
+                  comparability); --dense benches the full-visibility rig
+                  where the grid premise holds (every slot live).
+  --engine tiles  the general-sparsity tile engine on the same sparse rig,
+                  laid out with zero masked waste (solver/tiles.py).
+  --engine indexed  the observation-list engine (gather/segment-sum bound).
+
+The JSON detail includes ``live_obs_per_sec`` (live observations x iter/s —
+the layout-independent useful-work metric) and ``est_tflops`` from a
+documented analytic FLOP count.
 
 Usage:
-    python bench.py                 # full config (~400k points) on default device
-    python bench.py --quick         # small config, fast smoke
-    python bench.py --platform cpu  # force CPU backend
+    python bench.py                 # sparse grid config (~400k pts) on TPU
+    python bench.py --engine tiles  # tile engine, same problem shape
+    python bench.py --dense         # dense-rig grid config
+    python bench.py --scaling       # 1..8 virtual-device efficiency sweep
+    python bench.py --quick         # small smoke config
 """
 
 from __future__ import annotations
@@ -42,24 +56,62 @@ def parse_args(argv=None):
     p.add_argument("--measure-only", action="store_true",
                    help="print raw iter/s only (used for the CPU subprocess)")
     p.add_argument("--no-baseline", action="store_true")
-    p.add_argument("--engine", default="grid", choices=["grid", "indexed"],
-                   help="grid = dense (N x cells) rig engine (TPU-native); "
-                        "indexed = observation-list engine")
+    p.add_argument("--engine", default="grid",
+                   choices=["grid", "indexed", "tiles"])
+    p.add_argument("--dense", action="store_true",
+                   help="grid engine: full-visibility rig (no masked waste)")
     p.add_argument("--chunk-size", type=int, default=8192)
     p.add_argument("--impl", default="planes",
                    choices=["planes", "einsum", "pallas"],
                    help="grid-engine linearization kernel")
+    p.add_argument("--cg-iters", type=int, default=30,
+                   help="fixed PCG iterations (tiles/indexed engines)")
+    p.add_argument("--scaling", action="store_true",
+                   help="sweep 1..8 virtual devices (CPU) and print the "
+                        "scaling-efficiency curve")
     return p.parse_args(argv)
 
 
 def build_config(args):
     n_points = args.n_points or (2_000 if args.quick else 400_000)
-    # 8 arcs x 24 rings; visibility thinned so mean track length ~ 10
+    # 8 arcs x 24 rings; sparse config thins visibility to mean track ~ 10
     return dict(
         n_arc=8, n_ring=24, n_points=n_points,
-        visibility=10.0 / (8 * 24), pixel_noise=1.0, point_noise=0.02,
-        seed=0,
+        visibility=None if args.dense else 10.0 / (8 * 24),
+        track_length=10,
+        pixel_noise=1.0, point_noise=0.02, seed=0,
     )
+
+
+def grid_flops_per_step(n_points, T, R, K, n_live):
+    """Analytic FLOPs for one grid-engine LM step (planes impl).
+
+    Dominated by: the E one-hot contractions (per (i,j) of 3x6 columns, an
+    (N,T)@(T,R|K) matmul), the (2N,18,T) slot Gram, the Jacobian plane
+    algebra (~650 flop/slot), and the trial-cost pass (~120 flop/slot).
+    Slots = N*T regardless of visibility (the mask eats dead slots).
+    """
+    slots = n_points * T
+    e_flops = slots * (36 * 2 * R + 18 * 2 * K)
+    gram = slots * 2 * 342
+    jac = slots * 650
+    cost_pass = slots * 120
+    schur = n_points * 200 + (6 * (R + K)) ** 3 / 3
+    return e_flops + gram + jac + cost_pass + schur
+
+
+def tile_flops_per_step(n_rows, W, V, cg_iters):
+    """Analytic FLOPs for one tile-engine LM step.
+
+    Per slot: one-hot lookup (2*78*V) + camera binning (2*(18+324)*V) at
+    linearize; each PCG matvec sweep costs ~2*2*18*V per slot (one-hot
+    lookup of v + binned scatter) plus ~200 flop of einsum work; the rhs,
+    back-substitution, and trial-cost sweeps add ~3 lookup-weight sweeps.
+    """
+    slots = n_rows * W
+    lin = slots * (2 * 78 * V + 2 * 342 * V + 700)
+    sweep = slots * (2 * 2 * 18 * V + 200)
+    return lin + (cg_iters + 3) * sweep
 
 
 def measure(args) -> dict:
@@ -74,7 +126,6 @@ def measure(args) -> dict:
     from deeparc_tpu.io.synthetic import make_hemisphere_rig
     from deeparc_tpu.residuals.reprojection import flatten_camera
     from deeparc_tpu.scene import freeze_masks, from_deeparc
-    from deeparc_tpu.solver.ba import init_state, make_step_pure
 
     cfg = build_config(args)
 
@@ -83,6 +134,8 @@ def measure(args) -> dict:
             f"--impl {args.impl} only applies to --engine grid; "
             f"the {args.engine} engine has no linearization-kernel variants"
         )
+
+    est_flops = None
     if args.engine == "grid":
         from deeparc_tpu.io.synthetic import make_grid_rig_device
         from deeparc_tpu.solver.rig_grid import init_grid_state, make_grid_step
@@ -96,8 +149,8 @@ def measure(args) -> dict:
             seed=cfg["seed"], dtype=jnp.float32,
         )
         n_ext_rows = params.ext_rot.shape[0]
-        cam_free = jnp.ones(6 * n_ext_rows + 6 * params.center.shape[0],
-                            jnp.float32)
+        K = params.center.shape[0]
+        cam_free = jnp.ones(6 * n_ext_rows + 6 * K, jnp.float32)
         cam_free = cam_free.at[: 6].set(0.0)                  # gauge ext 0
         cam_free = cam_free.at[6 * (n_ext_rows - 1): 6 * n_ext_rows].set(0.0)
         cam_free = cam_free.at[6 * n_ext_rows:].set(0.0)      # intrinsics
@@ -118,8 +171,57 @@ def measure(args) -> dict:
         step_args = (grid, cam_free, point_free)
         n_obs_real = int(jnp.sum(grid.mask))
         n_points_real = cfg["n_points"]
+        T = cfg["n_arc"] * cfg["n_ring"]
+        slot_obs = cfg["n_points"] * T
+        est_flops = grid_flops_per_step(
+            cfg["n_points"], T, n_ext_rows, K, n_obs_real)
+    elif args.engine == "tiles":
+        from deeparc_tpu.io.synthetic import make_tile_rig_device
+        from deeparc_tpu.solver.tiles import (
+            init_tile_state, make_tile_step,
+        )
+
+        params, tiles, _, cam_free = make_tile_rig_device(
+            n_arc=cfg["n_arc"], n_ring=cfg["n_ring"],
+            n_points=cfg["n_points"], track_length=cfg["track_length"],
+            pixel_noise=cfg["pixel_noise"], point_noise=cfg["point_noise"],
+            seed=cfg["seed"], dtype=jnp.float32,
+        )
+        n_ext_rows = params.ext_rot.shape[0]
+        cam_free = cam_free.at[: 6].set(0.0)                  # gauge ext 0
+        cam_free = cam_free.at[6 * (n_ext_rows - 1): 6 * n_ext_rows].set(0.0)
+        cam_free = cam_free.at[6 * n_ext_rows:].set(0.0)      # intrinsics
+        point_free = jnp.ones_like(params.points)
+
+        options = SolverOptions(
+            linear_solver="iterative_schur",
+            cg_max_iterations=args.cg_iters,
+            cg_tolerance=0.0,            # fixed CG work per LM step
+            min_relative_decrease=-1.0,
+            function_tolerance=0.0, gradient_tolerance=0.0,
+            parameter_tolerance=0.0,
+        )
+        t_step = make_tile_step(options, params)
+        step = jax.jit(lambda s, t, cf, pf: t_step(s, t, cf, pf)[0],
+                       donate_argnums=(0,))
+        state = init_tile_state(params, tiles, options, cam_free)
+        step_args = (tiles, cam_free, point_free)
+        n_obs_real = int(sum(float(jnp.sum(b.mask)) for b in tiles.buckets))
+        n_points_real = int(params.points.shape[0])
+        n_rows, W = tiles.buckets[0].cell.shape
+        V = int(tiles.cells.slot_outer.shape[0])
+        slot_obs = n_rows * W
+        est_flops = tile_flops_per_step(n_rows, W, V, args.cg_iters)
     else:
-        rig = make_hemisphere_rig(**cfg)
+        from deeparc_tpu.solver.ba import init_state, make_step_pure
+
+        rig = make_hemisphere_rig(
+            n_arc=cfg["n_arc"], n_ring=cfg["n_ring"],
+            n_points=cfg["n_points"],
+            visibility=cfg["visibility"] or 1.0,
+            pixel_noise=cfg["pixel_noise"], point_noise=cfg["point_noise"],
+            seed=cfg["seed"],
+        )
         # f32 on accelerators (f64 is software-emulated on TPU)
         scene = from_deeparc(rig.data, dtype=jnp.float32)
         free = freeze_masks(scene)
@@ -127,9 +229,10 @@ def measure(args) -> dict:
         point_free = free.points
         n_obs_real = scene.n_obs
         n_points_real = scene.n_points
+        slot_obs = scene.n_obs
         options = SolverOptions(
             linear_solver="iterative_schur",
-            cg_max_iterations=30,
+            cg_max_iterations=args.cg_iters,
             cg_tolerance=0.0,           # fixed CG work per LM step
             min_relative_decrease=-1.0,
             function_tolerance=0.0, gradient_tolerance=0.0,
@@ -158,22 +261,85 @@ def measure(args) -> dict:
     float(state.cost)
     dt = time.time() - t0
 
-    return dict(
-        iters_per_sec=args.iters / dt,
+    ips = args.iters / dt
+    out = dict(
+        iters_per_sec=ips,
         seconds_per_iter=dt / args.iters,
         compile_s=compile_s,
         n_obs=n_obs_real,
         n_points=n_points_real,
+        slot_obs=slot_obs,
+        live_obs_per_sec=n_obs_real * ips,
         platform=jax.devices()[0].platform,
         device=str(jax.devices()[0]),
         final_cost=float(state.cost),
     )
+    if est_flops is not None:
+        out["est_tflops"] = est_flops * ips / 1e12
+    return out
+
+
+def measure_scaling(args) -> dict:
+    """Virtual-device scaling sweep (CPU backend, forced 8-way host split).
+
+    Measures the sharded grid engine's whole-solve throughput at 1, 2, 4, 8
+    shards of the same total problem and reports parallel efficiency
+    (t_1 / (n * t_n)). Run in subprocesses so XLA_FLAGS takes effect.
+    """
+    out = {}
+    n_points = args.n_points or 4096
+    for n_dev in (1, 2, 4, 8):
+        code = f"""
+import os
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count={n_dev}").strip()
+import json, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+from deeparc_tpu.config import SolverOptions
+from deeparc_tpu.io.synthetic import make_hemisphere_rig
+from deeparc_tpu.parallel import make_mesh
+from deeparc_tpu.parallel.sharded_grid import solve_ba_grid_sharded
+from deeparc_tpu.scene import freeze_masks, from_deeparc
+from deeparc_tpu.solver.rig_grid import grid_from_scene
+import jax.numpy as jnp
+rig = make_hemisphere_rig(n_arc=6, n_ring=16, n_points={n_points},
+                          visibility=0.3, pixel_noise=1.0, point_noise=0.02,
+                          seed=0)
+scene = from_deeparc(rig.data, dtype=jnp.float32)
+free = freeze_masks(scene)
+grid = grid_from_scene(scene)
+opts = SolverOptions(max_iterations=3, min_relative_decrease=-1.0,
+                     function_tolerance=0.0, gradient_tolerance=0.0,
+                     parameter_tolerance=0.0)
+mesh = make_mesh({n_dev})
+solve_ba_grid_sharded(scene.params, grid, free, opts, mesh, chunk_size=1024)
+t0 = time.time()
+reps = 3
+for _ in range(reps):
+    solve_ba_grid_sharded(scene.params, grid, free, opts, mesh,
+                          chunk_size=1024)
+print(json.dumps({{"t": (time.time() - t0) / reps}}))
+"""
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=1200, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"scaling probe n={n_dev}: {r.stderr[-800:]}")
+        out[n_dev] = json.loads(r.stdout.strip().splitlines()[-1])["t"]
+    t1 = out[1]
+    eff = {n: t1 / (n * t) for n, t in out.items()}
+    return dict(seconds=out, efficiency=eff)
 
 
 def cpu_baseline(args) -> float:
     """CPU iter/s for the same config (cached; measured in a subprocess)."""
     cache_path = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
-    key = f"cpu_iters_per_sec_n{args.n_points or (2_000 if args.quick else 400_000)}"
+    n = args.n_points or (2_000 if args.quick else 400_000)
+    key = f"cpu_iters_per_sec_{args.engine}{'_dense' if args.dense else ''}_n{n}"
+    if args.engine == "grid" and not args.dense:
+        key = f"cpu_iters_per_sec_n{n}"   # legacy cache key, round-1 value
     cache = {}
     if os.path.exists(cache_path):
         try:
@@ -186,9 +352,12 @@ def cpu_baseline(args) -> float:
         sys.executable, os.path.abspath(__file__), "--measure-only",
         "--platform", "cpu", "--iters", "3", "--warmup", "1",
         "--engine", args.engine, "--chunk-size", str(args.chunk_size),
+        "--cg-iters", str(args.cg_iters),
     ]
     if args.quick:
         cmd.append("--quick")
+    if args.dense:
+        cmd.append("--dense")
     if args.n_points:
         cmd += ["--n-points", str(args.n_points)]
     out = subprocess.run(
@@ -205,6 +374,22 @@ def cpu_baseline(args) -> float:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.scaling:
+        result = measure_scaling(args)
+        eff8 = result["efficiency"][8]
+        print(json.dumps({
+            "metric": "scaling_efficiency_8dev",
+            "value": round(eff8, 4),
+            "unit": "fraction",
+            "vs_baseline": round(eff8 / 0.75, 4),   # target >= 75%
+            "detail": {
+                "seconds": {str(k): round(v, 4)
+                            for k, v in result["seconds"].items()},
+                "efficiency": {str(k): round(v, 4)
+                               for k, v in result["efficiency"].items()},
+            },
+        }))
+        return 0
     result = measure(args)
     if args.measure_only:
         print(json.dumps(result))
@@ -216,17 +401,24 @@ def main(argv=None) -> int:
             vs = result["iters_per_sec"] / base
         except Exception as e:
             print(f"# baseline measurement failed: {e}", file=sys.stderr)
+    detail = {
+        "n_obs": result["n_obs"], "n_points": result["n_points"],
+        "slot_obs": result["slot_obs"],
+        "live_obs_per_sec": round(result["live_obs_per_sec"]),
+        "platform": result["platform"], "engine": args.engine,
+        "impl": args.impl if args.engine == "grid" else None,
+        "dense": bool(args.dense),
+        "seconds_per_iter": round(result["seconds_per_iter"], 6),
+        "compile_s": round(result["compile_s"], 2),
+    }
+    if "est_tflops" in result:
+        detail["est_tflops"] = round(result["est_tflops"], 3)
     print(json.dumps({
         "metric": "ba_iterations_per_sec",
         "value": round(result["iters_per_sec"], 4),
         "unit": "iter/s",
         "vs_baseline": round(vs, 4) if vs is not None else None,
-        "detail": {
-            "n_obs": result["n_obs"], "n_points": result["n_points"],
-            "platform": result["platform"], "engine": args.engine,
-            "seconds_per_iter": round(result["seconds_per_iter"], 6),
-            "compile_s": round(result["compile_s"], 2),
-        },
+        "detail": detail,
     }))
     return 0
 

@@ -465,3 +465,145 @@ def make_bal_synthetic(
         data=data, gt_points=gt_points, gt_ext_rot=ext_rot,
         gt_ext_trans=ext_trans, image_size=image_size,
     )
+
+
+def make_tile_rig_device(
+    n_arc: int = 8,
+    n_ring: int = 24,
+    n_points: int = 400_000,
+    track_length: int = 10,
+    rho: float = 2.0,
+    object_radius: float = 0.4,
+    focal: float = 1000.0,
+    image_size: tuple = (1600, 1200),
+    pixel_noise: float = 1.0,
+    point_noise: float = 0.02,
+    seed: int = 0,
+    chunk_obs: int = None,
+    dtype=None,
+):
+    """Device-side synthetic problem directly in the TILE layout.
+
+    Same turntable-rig geometry as :func:`make_grid_rig_device`, but each
+    point observes exactly ``track_length`` randomly chosen cells, laid out
+    as ONE dense (N, W) tile bucket with W = next_pow2(track_length) — the
+    sparse-visibility benchmark configuration with zero masked overcompute
+    in the engine (every stored slot below W=track is live). Only tiny
+    camera tables cross the host->device boundary.
+
+    Returns (params_t: BAParams (rows == points, no permutation needed),
+    tiles: TileIndex, gt_points, cam_free (C,)).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deeparc_tpu.scene import BAParams
+    from deeparc_tpu.solver.tiles import (
+        CHUNK_OBS, CellTable, TileBucket, TileIndex, pack_cells,
+        rows_per_chunk, _project_chunk, _unpack, _onehot,
+    )
+    from deeparc_tpu.solver.rig_grid import slot_params
+
+    dtype = dtype or jnp.float32
+    chunk_obs = chunk_obs or CHUNK_OBS
+    host = make_hemisphere_rig(
+        n_arc=n_arc, n_ring=n_ring, n_points=8, rho=rho,
+        object_radius=object_radius, focal=focal, image_size=image_size,
+        seed=seed,
+    )
+    d = host.data
+    identity_pad = np.zeros((1, 3))
+    W = 1 << int(np.ceil(np.log2(max(track_length, 1))))
+    rpc = rows_per_chunk(W, chunk_obs)
+    N_pad = -(-n_points // rpc) * rpc
+
+    params_gt = BAParams(
+        points=jnp.zeros((N_pad, 3), dtype),
+        ext_rot=jnp.asarray(np.concatenate([d.ext_rot, identity_pad]), dtype),
+        ext_trans=jnp.asarray(
+            np.concatenate([d.ext_trans, identity_pad]), dtype),
+        center=jnp.asarray(d.center, dtype),
+        focal=jnp.asarray(d.focal, dtype),
+        dist=jnp.asarray(d.dist, dtype),
+    )
+
+    # rig cells == all (arc, ring) pairs, reference slot rules
+    T = n_arc * n_ring
+    arc = np.repeat(np.arange(n_arc), n_ring)
+    ring = np.tile(np.arange(n_ring), n_arc)
+    ring_rec = np.where(ring == 0, 0, ring + n_arc - 1)
+    identity = d.n_extrinsics
+    outer = np.where(ring == 0, arc, np.where(arc == 0, ring_rec, arc))
+    inner = np.where((ring == 0) | (arc == 0), identity, ring_rec)
+    intr = arc
+    R_rows = identity + 1
+    six = np.arange(6)
+    cols = np.concatenate(
+        [outer[:, None] * 6 + six, inner[:, None] * 6 + six,
+         6 * R_rows + intr[:, None] * 6 + six], axis=1).astype(np.int32)
+    cells = CellTable(
+        slot_outer=jnp.asarray(outer, jnp.int32),
+        slot_inner=jnp.asarray(inner, jnp.int32),
+        slot_intr=jnp.asarray(intr, jnp.int32),
+        focal_shared=jnp.asarray((d.focal_size == 1)[intr], dtype),
+        dist_m1=jnp.asarray((d.dist_size >= 1)[intr], dtype),
+        dist_m2=jnp.asarray((d.dist_size == 2)[intr], dtype),
+        cols=jnp.asarray(cols, jnp.int32),
+    )
+    C = 6 * R_rows + 6 * d.n_intrinsics
+    cam_free = jnp.ones((C,), dtype)
+    sp = slot_params(params_gt, cells)
+    packed = pack_cells(sp, cells, cam_free)
+
+    @jax.jit
+    def synthesize(key):
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        direction = jax.random.normal(k1, (N_pad, 3), dtype)
+        direction = direction / jnp.maximum(
+            jnp.linalg.norm(direction, axis=1, keepdims=True), 1e-9)
+        radii = object_radius * jnp.cbrt(
+            jax.random.uniform(k2, (N_pad, 1), dtype))
+        gt_points = jnp.asarray([0.0, 0.0, rho], dtype) + direction * radii
+
+        # each point sees `track_length` distinct random cells
+        scores = jax.random.uniform(k3, (N_pad, T))
+        _, cell_ids = jax.lax.top_k(scores, track_length)
+        cell = jnp.zeros((N_pad, W), jnp.int32)
+        cell = cell.at[:, :track_length].set(cell_ids.astype(jnp.int32))
+        mask = jnp.zeros((N_pad, W), dtype)
+        mask = mask.at[:, :track_length].set(1.0)
+
+        # project through the tile engine's own chunk kernel
+        def chunk_fn(args):
+            pts, cl, msk = args
+            oh = _onehot(cl.reshape(-1), T, dtype)
+            sl = jnp.dot(oh, packed, preferred_element_type=dtype)
+            c = _unpack(sl, pts.shape[0], W)
+            zeros = jnp.zeros_like(msk)
+            pc = _project_chunk(pts, c, zeros, zeros, msk)
+            return pc["r"]  # == prediction when xy == 0 (masked)
+
+        nch = N_pad // rpc
+        shaped = lambda a: a.reshape((nch, rpc) + a.shape[1:])
+        pred = jax.lax.map(
+            chunk_fn, (shaped(gt_points), shaped(cell), shaped(mask))
+        ).reshape(N_pad, W, 2)
+        xy = pred + pixel_noise * jax.random.normal(k4, pred.shape, dtype)
+        xy = xy * mask[..., None]
+        init_points = gt_points + point_noise * jax.random.normal(
+            k5, gt_points.shape, dtype)
+        return gt_points, init_points, xy[..., 0], xy[..., 1], mask, cell
+
+    gt_points, init_points, xy0, xy1, mask, cell = synthesize(
+        jax.random.PRNGKey(seed))
+    # the generator's rows beyond n_points are real synthetic points too —
+    # keep them live (N_pad is the effective problem size)
+    bucket = TileBucket(cell=cell, xy0=xy0, xy1=xy1, mask=mask)
+    tiles = TileIndex(
+        cells=cells, buckets=(bucket,),
+        row_of_point=jnp.arange(N_pad, dtype=jnp.int32),
+    )
+    import dataclasses as _dc
+
+    params = _dc.replace(params_gt, points=init_points)
+    return params, tiles, gt_points, cam_free

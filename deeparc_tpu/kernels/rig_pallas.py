@@ -330,11 +330,13 @@ def _pad_planes_t(x, t_pad, n_pad):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("loss", "loss_scale", "block_np", "interpret"),
+    static_argnames=("loss", "loss_scale", "block_np", "interpret",
+                     "vmem_limit_mb"),
 )
 def linearize_grid(
     points, point_free, sp, grid, free_outer, free_inner, free_intr,
     loss="trivial", loss_scale=0.5, block_np=256, interpret=False,
+    vmem_limit_mb=100,
 ):
     """Fused full-problem linearization.
 
@@ -398,6 +400,11 @@ def linearize_grid(
             jax.ShapeDtypeStruct((t_pad, 342), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ],
+        # the kernel keeps ~80 (t_pad, block_np) planes live; at rig sizes
+        # (T=192, block 256) that is ~25 MB of scoped VMEM — raise the
+        # default 16 MB scoped limit instead of shrinking the tile
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
         interpret=interpret,
     )(sp_pack, oh_pad(grid.onehot_outer), oh_pad(grid.onehot_inner),
       oh_pad(grid.onehot_intr), pts_pack, xy0t, xy1t, maskt)
