@@ -357,9 +357,14 @@ def make_bal_synthetic(
     dist_coeffs: tuple = (-0.02, 0.005),
     pixel_noise: float = 0.0,
     point_noise: float = 0.0,
+    ext_noise: float = 0.0,
     seed: int = 0,
 ) -> SyntheticRig:
     """Non-shared-extrinsic (BAL-style) synthetic problem with ground truth.
+
+    ``ext_noise`` perturbs the INITIAL extrinsics (angle-axis and
+    translation) away from the ground truth used for projection — the
+    noisy-registration configuration pose-graph refinement targets.
 
     Cameras are scattered on a sphere of radius ``rho`` looking at a point
     cloud at the origin — the arbitrary camera-graph case the reference
@@ -450,6 +455,12 @@ def make_bal_synthetic(
         rng.normal(scale=point_noise, size=(n_points, 3))
         if point_noise > 0 else 0.0
     )
+    init_rot = ext_rot.copy()
+    init_trans = ext_trans.copy()
+    if ext_noise > 0:
+        # keep the gauge camera (record 0) exact
+        init_rot[1:] += rng.normal(scale=ext_noise, size=(n_cameras - 1, 3))
+        init_trans[1:] += rng.normal(scale=ext_noise, size=(n_cameras - 1, 3))
 
     data = DeepArcData(
         version=0.01, share_extrinsic=False, arc_size=n_cameras, ring_size=0,
@@ -458,7 +469,7 @@ def make_bal_synthetic(
         center=center, focal=focal_arr,
         focal_size=np.ones(n_cameras, dtype=np.int32),
         dist=dist_arr, dist_size=np.full(n_cameras, dist_size, dtype=np.int32),
-        ext_rot=ext_rot.copy(), ext_trans=ext_trans.copy(),
+        ext_rot=init_rot, ext_trans=init_trans,
         points=np.asarray(init_points), colors=colors,
     )
     return SyntheticRig(

@@ -729,8 +729,25 @@ def solve_ba_grid(
     driver: str = "python",
     chunk_size: int = 8192,
     impl: str = "planes",
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+    logger=None,
+    while_block: int = 10,
 ):
-    """LM to convergence on the grid engine. Returns a solver.ba.BAResult."""
+    """LM to convergence on the grid engine. Returns a solver.ba.BAResult.
+
+    Operational features match the indexed engine's driver (solver/ba.py):
+
+    driver='python': step-per-dispatch with Ceres-style progress printing,
+      the wall-clock cap (sfm.cc:71), periodic ``.npz`` solver-state
+      checkpoints (``resume=True`` restarts from checkpoint_path with the
+      saved trust-region state), and a JsonlLogger.
+    driver='while_loop': mostly-on-device — iterations run in
+      ``while_block``-sized ``lax.while_loop`` dispatches with the
+      wall-clock budget (and optional checkpointing) enforced on the host
+      between blocks.
+    """
     import time as _time
 
     from deeparc_tpu.residuals.reprojection import flatten_camera
@@ -740,29 +757,75 @@ def solve_ba_grid(
     point_free = free.points
     step = make_grid_step(options, params, chunk_size, impl=impl)
     state = init_grid_state(params, grid, options, impl=impl)
+    start_iter = 0
+    if resume and checkpoint_path:
+        import os as _os
+
+        if _os.path.exists(checkpoint_path):
+            from deeparc_tpu.utils.checkpoint import load_solver_state
+
+            ck_params, scal = load_solver_state(
+                checkpoint_path, dtype=params.points.dtype)
+            sp = slot_params(ck_params, grid)
+            cost_ck = grid_cost(ck_params.points, sp, grid,
+                                loss=options.loss,
+                                loss_scale=options.loss_scale, impl=impl)
+            state = GridState(
+                points=ck_params.points,
+                cam_vec=flatten_cam_tables(ck_params),
+                cost=cost_ck,
+                tr=tr_mod.TRState(
+                    radius=jnp.asarray(scal["radius"], params.points.dtype),
+                    decrease_factor=jnp.asarray(
+                        scal["decrease_factor"], params.points.dtype),
+                ),
+                k=jnp.asarray(scal["iteration"]),
+                status=jnp.asarray(0),
+            )
+            start_iter = scal["iteration"]
+
+    def _save(state, k):
+        from deeparc_tpu.utils.checkpoint import save_solver_state
+
+        save_solver_state(
+            checkpoint_path, _params_from(state.cam_vec, state.points, params),
+            float(state.tr.radius), float(state.tr.decrease_factor),
+            k, float(state.cost),
+        )
 
     if driver == "while_loop":
-        jit_solve = jax.jit(
-            lambda s, g, cf, pf: jax.lax.while_loop(
-                lambda st: (st.status == 0) & (st.k < options.max_iterations),
+        jit_block = jax.jit(
+            lambda s, g, cf, pf, k_stop: jax.lax.while_loop(
+                lambda st: (st.status == 0) & (st.k < k_stop),
                 lambda st: step(st, g, cf, pf)[0],
                 s,
-            )
+            ),
+            static_argnames=(),
         )
-        final = jit_solve(state, grid, cam_free, point_free)
-        out_params = _params_from(final.cam_vec, final.points, params)
+        t0 = _time.time()
+        k = start_iter
+        while int(state.status) == 0 and k < options.max_iterations:
+            if _time.time() - t0 > options.max_seconds:
+                break
+            k_stop = min(k + while_block, options.max_iterations)
+            state = jit_block(state, grid, cam_free, point_free,
+                              jnp.asarray(k_stop))
+            k = int(state.k)
+            if checkpoint_path:
+                _save(state, k)
+        out_params = _params_from(state.cam_vec, state.points, params)
         return BAResult(
-            params=out_params, cost=float(final.cost),
-            iterations=int(final.k), status=int(final.status),
+            params=out_params, cost=float(state.cost),
+            iterations=int(state.k), status=int(state.status),
         )
 
     jit_step = jax.jit(step)
     t0 = _time.time()
-    k = 0
+    k = start_iter
     if options.progress_to_stdout:
         print(f"{'iter':>4} {'cost':>14} {'cost_change':>12} {'|gradient|':>11}"
               f" {'tr_radius':>10} {'rho':>9} {'accept':>6}")
-        print(f"{0:>4} {float(state.cost):>14.6e}")
+        print(f"{k:>4} {float(state.cost):>14.6e}")
     while int(state.status) == 0 and k < options.max_iterations:
         if _time.time() - t0 > options.max_seconds:
             break
@@ -774,6 +837,17 @@ def solve_ba_grid(
                   f" {float(info.grad_max):>11.4e}"
                   f" {float(info.radius):>10.3e} {float(info.rho):>9.3f}"
                   f" {bool(info.accepted)!s:>6}")
+        if logger is not None:
+            logger.log(
+                "lm_iteration", iter=k, cost=float(info.cost),
+                cost_change=float(info.cost_change),
+                grad_max=float(info.grad_max),
+                step_norm=float(info.step_norm),
+                radius=float(info.radius), rho=float(info.rho),
+                accepted=bool(info.accepted),
+            )
+        if checkpoint_path and k % checkpoint_every == 0:
+            _save(state, k)
     out_params = _params_from(state.cam_vec, state.points, params)
     return BAResult(
         params=out_params, cost=float(state.cost),

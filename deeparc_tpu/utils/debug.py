@@ -17,8 +17,14 @@ import jax
 
 
 def set_nan_debugging(enabled: bool = True) -> None:
-    """Globally enable/disable jax_debug_nans (fail loudly on NaN)."""
+    """Globally enable/disable jax_debug_nans (fail loudly on NaN).
+
+    Clears the executable caches on enable: computations compiled before the
+    toggle do not carry the NaN checks and would keep silently propagating.
+    """
     jax.config.update("jax_debug_nans", enabled)
+    if enabled:
+        jax.clear_caches()
 
 
 @contextlib.contextmanager
@@ -26,6 +32,8 @@ def nan_debugging(enabled: bool = True):
     """Scoped jax_debug_nans toggle (restores the previous value on exit)."""
     prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enabled)
+    if enabled:
+        jax.clear_caches()
     try:
         yield
     finally:

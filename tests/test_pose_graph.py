@@ -101,3 +101,30 @@ def test_incremental_converges_to_batch_quality():
     assert len(result.history) == result.batches
     costs = [h["cost"] for h in result.history]
     assert all(np.isfinite(costs))
+
+
+def test_incremental_free_with_pose_graph_never_hurts():
+    """Config 3 on a free-camera scene: incremental BA with the pose-graph
+    stage wired in (run_incremental_free) must match or beat the same loop
+    without it on a noisy-registration problem."""
+    from deeparc_tpu.config import PipelineOptions, SolverOptions
+    from deeparc_tpu.io.synthetic import make_bal_synthetic
+    from deeparc_tpu.pipeline.incremental import run_incremental
+
+    rig = make_bal_synthetic(
+        n_cameras=10, n_points=120, track_length=6.0,
+        pixel_noise=0.3, point_noise=0.02, ext_noise=0.01, seed=7,
+    )
+    opts = PipelineOptions(solver=SolverOptions(
+        max_iterations=8, linear_solver="iterative_schur",
+        cg_max_iterations=60,
+    ))
+    with_pg = run_incremental(rig.data, opts, batch_size=3, verbose=False,
+                              pose_graph=True)
+    without_pg = run_incremental(rig.data, opts, batch_size=3, verbose=False,
+                                 pose_graph=False)
+    assert with_pg.batches == without_pg.batches
+    # pose-graph refinement improves (or at worst matches) the final fit
+    assert with_pg.final_rmse_px <= without_pg.final_rmse_px * 1.02
+    # and the incremental result is a genuinely adjusted scene
+    assert with_pg.final_rmse_px < 2.0

@@ -104,6 +104,10 @@ def test_nan_debugging_fails_loudly_on_degenerate_point():
     import dataclasses
 
     bad_params = dataclasses.replace(scene.params, points=bad_points)
+    import jax
+
+    # executables compiled before the toggle don't carry the NaN checks
+    jax.clear_caches()
     with nan_debugging(True):
         with pytest.raises(FloatingPointError):
             r = residuals_fn(bad_params, scene.index)
@@ -111,3 +115,58 @@ def test_nan_debugging_fails_loudly_on_degenerate_point():
     # toggle restored: the same evaluation only produces NaNs silently
     r = residuals_fn(bad_params, scene.index)
     assert not bool(jnp.all(jnp.isfinite(r)))
+
+
+def _grid_problem():
+    from deeparc_tpu.solver.rig_grid import grid_from_scene
+
+    scene, free = _problem()
+    return scene, free, grid_from_scene(scene)
+
+
+def test_grid_solve_resume_from_checkpoint(tmp_path):
+    """Grid-engine driver parity: checkpoint/resume like solve_ba."""
+    from deeparc_tpu.solver.rig_grid import solve_ba_grid
+
+    scene, free, grid = _grid_problem()
+    path = str(tmp_path / "ck_grid.npz")
+    opts = SolverOptions(max_iterations=3)
+    a = solve_ba_grid(scene.params, grid, free, opts, chunk_size=16,
+                      checkpoint_path=path, checkpoint_every=1)
+    opts2 = SolverOptions(max_iterations=10)
+    b = solve_ba_grid(scene.params, grid, free, opts2, chunk_size=16,
+                      checkpoint_path=path, checkpoint_every=100, resume=True)
+    assert b.iterations >= 3
+    assert float(b.cost) <= float(a.cost) + 1e-9
+
+
+def test_grid_jsonl_logger_and_while_block(tmp_path):
+    from deeparc_tpu.solver.rig_grid import solve_ba_grid
+    from deeparc_tpu.utils import JsonlLogger
+
+    scene, free, grid = _grid_problem()
+    path = str(tmp_path / "grid_log.jsonl")
+    with JsonlLogger(path) as logger:
+        a = solve_ba_grid(scene.params, grid, free,
+                          SolverOptions(max_iterations=4), chunk_size=16,
+                          logger=logger)
+    records = [json.loads(line) for line in open(path)]
+    assert len(records) >= 1
+    assert all(r["event"] == "lm_iteration" for r in records)
+    # block-dispatched while_loop driver reaches the same state
+    b = solve_ba_grid(scene.params, grid, free,
+                      SolverOptions(max_iterations=4), chunk_size=16,
+                      driver="while_loop", while_block=2)
+    np.testing.assert_allclose(float(b.cost), float(a.cost), rtol=1e-9)
+    assert b.iterations == a.iterations
+
+
+def test_grid_while_loop_respects_max_seconds():
+    from deeparc_tpu.solver.rig_grid import solve_ba_grid
+
+    scene, free, grid = _grid_problem()
+    # zero budget: the driver must stop after at most one block
+    out = solve_ba_grid(scene.params, grid, free,
+                        SolverOptions(max_iterations=100, max_seconds=0.0),
+                        chunk_size=16, driver="while_loop", while_block=2)
+    assert out.iterations == 0
