@@ -71,6 +71,9 @@ def parse_args(argv=None):
     p.add_argument("--scaling", action="store_true",
                    help="sweep 1..8 virtual devices (CPU) and print the "
                         "scaling-efficiency curve")
+    p.add_argument("--with-ceres-equiv", action="store_true",
+                   help="measure the Ceres-equivalent CPU DENSE_SCHUR anchor "
+                        "if not cached (scripts/ceres_equiv_cpu.py; minutes)")
     return p.parse_args(argv)
 
 
@@ -377,6 +380,42 @@ def cpu_baseline(args) -> float:
     return value
 
 
+def ceres_equiv_baseline(args) -> float | None:
+    """Ceres-equivalent CPU DENSE_SCHUR iter/s (BASELINE row 2 anchor).
+
+    Cached in .bench_cache.json; measured by scripts/ceres_equiv_cpu.py —
+    a single-process numpy/scipy implementation of the identical LM
+    iteration (closed-form Jacobians, sparse JtJ/E products, dense Cholesky
+    of the reduced camera system). Only measured on demand
+    (--with-ceres-equiv); otherwise returns the cached value or None.
+    """
+    cache_path = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
+    n = args.n_points or (2_000 if args.quick else 400_000)
+    key = f"ceres_equiv_iters_per_sec_n{n}"
+    cache = {}
+    if os.path.exists(cache_path):
+        try:
+            cache = json.load(open(cache_path))
+        except Exception:
+            cache = {}
+    if key in cache:
+        return cache[key]
+    if not args.with_ceres_equiv:
+        return None
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "ceres_equiv_cpu.py")
+    out = subprocess.run(
+        [sys.executable, script, "--n-points", str(n), "--reps", "3"],
+        capture_output=True, text=True, timeout=3600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    value = json.loads(out.stdout.strip().splitlines()[-1])["iters_per_sec"]
+    cache[key] = value
+    with open(cache_path, "w") as f:
+        json.dump(cache, f)
+    return value
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     if args.scaling:
@@ -418,6 +457,19 @@ def main(argv=None) -> int:
     }
     if "est_tflops" in result:
         detail["est_tflops"] = round(result["est_tflops"], 3)
+    if args.engine == "grid" and not args.dense:
+        try:
+            ce = ceres_equiv_baseline(args)
+        except Exception as e:
+            print(f"# ceres-equiv measurement failed: {e}", file=sys.stderr)
+            ce = None
+        if ce:
+            # vs the measured single-process anchor, and vs an OPTIMISTIC
+            # 16-thread Ceres (perfect scaling of the reference's
+            # num_threads=16, src/sfm.cc:70)
+            detail["vs_ceres_equiv"] = round(result["iters_per_sec"] / ce, 1)
+            detail["vs_ceres_equiv_16t"] = round(
+                result["iters_per_sec"] / (16 * ce), 1)
     print(json.dumps({
         "metric": "ba_iterations_per_sec",
         "value": round(result["iters_per_sec"], 4),

@@ -1,0 +1,192 @@
+"""Distributed tile-engine bundle adjustment: point rows sharded over a mesh.
+
+The BAL/config-5 distributed path (BASELINE.json): the tile engine's
+point-major layout makes data parallelism trivial — bucket rows (and the
+matching point/freeze rows) are partitioned over the mesh axis (or the
+("host", "chip") axis pair), every per-point quantity is shard-local, and
+only the SMALL cell-space camera reductions ((V, 18) gradients, (V, 18, 18)
+Grams, the PCG rhs/correction bins, and trust-region scalars) cross the
+interconnect via psum — a few MB per LM iteration regardless of problem
+size. The step function is ``tiles.make_tile_step(axis=...)`` — the exact
+single-chip code with its cross-row reductions routed through psum/pmax, so
+distributed iterates match single-device iterates up to float
+re-association (asserted in tests/test_dist.py-style tile tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from deeparc_tpu.config import SolverOptions
+from deeparc_tpu.scene import BAParams
+from deeparc_tpu.solver.tiles import (
+    CHUNK_OBS,
+    TileBucket,
+    TileIndex,
+    init_tile_state,
+    make_tile_step,
+)
+
+
+def shard_tile_rows(params_t: BAParams, tiles: TileIndex, point_free_t,
+                    n_shards: int, chunk_obs: int = CHUNK_OBS):
+    """Pad every bucket's rows so each splits evenly into n_shards
+    chunk-aligned slices, and reorder the row-space point arrays
+    SHARD-MAJOR: shard s's contiguous global slice is
+    [bucket0 slice s | bucket1 slice s | ... | tail slice s], matching the
+    per-bucket slices ``P(axis)`` hands each shard.
+
+    Returns (params_p, tiles_p, point_free_p, orig_row_of_row) where
+    ``orig_row_of_row`` maps the reordered global rows back to pre-pad rows
+    (-1 for padding)."""
+    from deeparc_tpu.solver.tiles import rows_per_chunk
+
+    pts = np.asarray(params_t.points)
+    pf = np.asarray(point_free_t)
+    dtype = params_t.points.dtype
+    pad_point = np.array([0.0, 0.0, 1.0])
+
+    new_buckets = []
+    # per-bucket padded (points, free, orig) blocks, kept for interleaving
+    blocks = []
+    offset = 0
+    for b in tiles.buckets:
+        Nb, W = b.cell.shape
+        rpc = rows_per_chunk(W, chunk_obs)
+        quantum = n_shards * rpc
+        Nb_pad = -(-Nb // quantum) * quantum
+        pad = Nb_pad - Nb
+
+        def pad_rows(arr, fill=0.0):
+            arr = np.asarray(arr)
+            return np.concatenate(
+                [arr, np.full((pad,) + arr.shape[1:], fill, arr.dtype)])
+
+        new_buckets.append(TileBucket(
+            cell=jnp.asarray(pad_rows(b.cell)),
+            xy0=jnp.asarray(pad_rows(b.xy0), dtype),
+            xy1=jnp.asarray(pad_rows(b.xy1), dtype),
+            mask=jnp.asarray(pad_rows(b.mask), dtype),
+        ))
+        blocks.append((
+            np.concatenate([pts[offset: offset + Nb],
+                            np.tile(pad_point, (pad, 1))]),
+            np.concatenate([pf[offset: offset + Nb], np.zeros((pad, 3))]),
+            np.concatenate([np.arange(offset, offset + Nb),
+                            np.full(pad, -1, dtype=np.int64)]),
+        ))
+        offset += Nb
+
+    # tail rows (zero-track points) pad to the shard count
+    tail = pts.shape[0] - offset
+    if tail > 0:
+        tail_pad = -(-tail // n_shards) * n_shards - tail
+        blocks.append((
+            np.concatenate([pts[offset:],
+                            np.tile(pad_point, (tail_pad, 1))]),
+            np.concatenate([pf[offset:], np.zeros((tail_pad, 3))]),
+            np.concatenate([np.arange(offset, offset + tail),
+                            np.full(tail_pad, -1, dtype=np.int64)]),
+        ))
+
+    # shard-major interleave
+    pts_rows, pf_rows, orig_rows = [], [], []
+    for s in range(n_shards):
+        for blk_pts, blk_pf, blk_orig in blocks:
+            per = blk_pts.shape[0] // n_shards
+            pts_rows.append(blk_pts[s * per: (s + 1) * per])
+            pf_rows.append(blk_pf[s * per: (s + 1) * per])
+            orig_rows.append(blk_orig[s * per: (s + 1) * per])
+
+    params_p = dataclasses.replace(
+        params_t, points=jnp.asarray(np.concatenate(pts_rows), dtype))
+    point_free_p = jnp.asarray(np.concatenate(pf_rows), dtype)
+    tiles_p = TileIndex(
+        cells=tiles.cells, buckets=tuple(new_buckets),
+        row_of_point=tiles.row_of_point,   # remapped by the caller if needed
+    )
+    return params_p, tiles_p, point_free_p, np.concatenate(orig_rows)
+
+
+def solve_ba_tiles_sharded(
+    params_t: BAParams,
+    tiles: TileIndex,
+    point_free_t,
+    cam_free,
+    options: SolverOptions = SolverOptions(),
+    mesh: Mesh | None = None,
+    axis=None,
+    chunk_obs: int = CHUNK_OBS,
+):
+    """Full tile-engine LM solve SPMD over the mesh.
+
+    ``axis`` may be one axis name or a tuple (e.g. ("host", "chip")).
+    Inputs are the ROW-SPACE arrays from tiles_from_scene /
+    make_tile_rig_device; bucket rows must split evenly over the mesh (use
+    :func:`shard_tile_rows`). Returns a BAResult in row space (caller
+    unpermutes)."""
+    from deeparc_tpu.parallel.sharded_ba import make_mesh
+    from deeparc_tpu.residuals.reprojection import unflatten_camera
+    from deeparc_tpu.solver.ba import BAResult
+
+    if mesh is None:
+        mesh = make_mesh()
+    if axis is None:
+        axis = mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(
+            mesh.axis_names)
+    n_shards = int(mesh.devices.size)
+
+    params_p, tiles_p, point_free_p, orig_rows = shard_tile_rows(
+        params_t, tiles, point_free_t, n_shards, chunk_obs)
+
+    # shard each bucket's rows round-robin-contiguously: reshape to
+    # (n_shards, per_shard, ...) then let shard_map split the leading axis
+    def reshard(arr):
+        per = arr.shape[0] // n_shards
+        return arr.reshape((n_shards * per,) + arr.shape[1:])
+
+    step = make_tile_step(options, params_p, chunk_obs, axis=axis)
+    spec = P(axis)
+
+    buckets_in = tuple(
+        TileBucket(*(jnp.asarray(x) for x in b)) for b in tiles_p.buckets)
+
+    def spmd(points, point_free, buckets, cells, cam_free):
+        t = TileIndex(cells=cells, buckets=buckets,
+                      row_of_point=jnp.zeros((1,), jnp.int32))
+        p = dataclasses.replace(params_p, points=points)
+        state = init_tile_state(p, t, options, cam_free, axis=axis,
+                                chunk_obs=chunk_obs)
+        final = jax.lax.while_loop(
+            lambda st: (st.status == 0) & (st.k < options.max_iterations),
+            lambda st: step(st, t, cam_free, point_free)[0],
+            state,
+        )
+        return final.points, final.cam_vec, final.cost, final.k, final.status
+
+    bucket_specs = tuple(
+        TileBucket(cell=spec, xy0=spec, xy1=spec, mask=spec)
+        for _ in buckets_in)
+    fn = shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(spec, spec, bucket_specs,
+                  jax.tree.map(lambda _: P(), tiles_p.cells), P()),
+        out_specs=(spec, P(), P(), P(), P()),
+    )
+    points_f, cam_f, cost_f, k_f, status_f = jax.jit(fn)(
+        params_p.points, point_free_p, buckets_in, tiles_p.cells, cam_free)
+
+    # drop shard padding back to the caller's row space
+    keep = orig_rows >= 0
+    pts_out = jnp.asarray(np.asarray(points_f)[keep])
+    out = unflatten_camera(cam_f, params_t)
+    out = dataclasses.replace(out, points=pts_out)
+    return BAResult(params=out, cost=float(cost_f), iterations=int(k_f),
+                    status=int(status_f))

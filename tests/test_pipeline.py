@@ -153,3 +153,40 @@ def test_grid_and_indexed_pipelines_agree(tmp_path):
     n_grid = int(np.asarray(res_grid.scene.index.point_mask).sum())
     n_idx = int(np.asarray(res_idx.scene.index.point_mask).sum())
     assert n_grid == n_idx
+
+
+def test_random_point_init_recovers_structure():
+    """Config 2 (teabottle_green_randompoint): structure initialized
+    uniformly at random in the object box must converge to the same minimum
+    as near-truth init, via the reference's freeze-camera pre-solve
+    (src/sfm.cc:111 exists precisely for this)."""
+    import dataclasses
+
+    from deeparc_tpu.config import SolverOptions
+    from deeparc_tpu.io.synthetic import make_hemisphere_rig
+    from deeparc_tpu.scene import freeze_masks, from_deeparc
+    from deeparc_tpu.solver.rig_grid import grid_from_scene, solve_ba_grid
+
+    common = dict(n_arc=3, n_ring=6, n_points=60, pixel_noise=0.4, seed=21)
+    rig_rand = make_hemisphere_rig(random_points=True, **common)
+    rig_near = make_hemisphere_rig(point_noise=0.02, **common)
+
+    def solve(rig):
+        scene = from_deeparc(rig.data)
+        grid = grid_from_scene(scene)
+        opts = SolverOptions(max_iterations=100)
+        # triangulation-only pre-solve, then full BA (the reference pipeline)
+        pre = solve_ba_grid(scene.params, grid,
+                            freeze_masks(scene, freeze_camera=True), opts,
+                            chunk_size=16)
+        out = solve_ba_grid(pre.params, grid, freeze_masks(scene), opts,
+                            chunk_size=16)
+        return out
+
+    a = solve(rig_rand)
+    b = solve(rig_near)
+    # same minimum from a random basin start (the trust region's robustness
+    # claim); tolerance covers a handful of stray points caught in local
+    # minima out of 60
+    import numpy as np
+    assert a.cost <= b.cost * 1.05, (a.cost, b.cost)

@@ -140,3 +140,31 @@ def test_tile_freeze_camera_presolve(problem):
         np.asarray(out.params.focal), np.asarray(scene.params.focal))
     assert float(out.cost) <= float(
         robust_cost(scene.params, scene.index, opts)) + 1e-9
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_tile_sharded_matches_single(problem, n_dev):
+    """Distributed tile engine: row-sharded solve over an n-device mesh
+    reproduces the single-device solve (cell-space psums only)."""
+    from deeparc_tpu.parallel.sharded_ba import make_mesh
+    from deeparc_tpu.parallel.sharded_tiles import solve_ba_tiles_sharded
+    from deeparc_tpu.residuals.reprojection import flatten_camera
+
+    scene, free = problem
+    opts = SolverOptions(
+        linear_solver="iterative_schur", cg_max_iterations=60,
+        max_iterations=4,
+    )
+    single = solve_ba_tiles(scene, free, opts, chunk_obs=CHUNK)
+
+    tiles, params_t, free_t = tiles_from_scene(scene, free, chunk_obs=CHUNK)
+    sharded = solve_ba_tiles_sharded(
+        params_t, tiles, free_t, flatten_camera(free), opts,
+        mesh=make_mesh(n_dev), chunk_obs=CHUNK,
+    )
+    np.testing.assert_allclose(float(sharded.cost), float(single.cost),
+                               rtol=1e-9)
+    assert sharded.iterations == single.iterations
+    np.testing.assert_allclose(
+        np.asarray(sharded.params.ext_rot), np.asarray(single.params.ext_rot),
+        rtol=1e-8, atol=1e-12)
