@@ -61,7 +61,7 @@ def parse_args(argv=None):
     p.add_argument("--dense", action="store_true",
                    help="grid engine: full-visibility rig (no masked waste)")
     p.add_argument("--chunk-size", type=int, default=8192)
-    p.add_argument("--impl", default="pallas",
+    p.add_argument("--impl", default=None,
                    choices=["planes", "einsum", "pallas"],
                    help="grid-engine linearization kernel (default: the "
                         "fused Pallas kernel — measured 4.8x the planes "
@@ -114,7 +114,7 @@ def tile_flops_per_step(n_rows, W, V, cg_iters):
     back-substitution, and trial-cost sweeps add ~3 lookup-weight sweeps.
     """
     slots = n_rows * W
-    lin = slots * (2 * 78 * V + 2 * 342 * V + 700)
+    lin = slots * (2 * 78 * V + 2 * 171 * V + 700)
     sweep = slots * (2 * 2 * 18 * V + 200)
     return lin + (cg_iters + 3) * sweep
 
@@ -134,11 +134,13 @@ def measure(args) -> dict:
 
     cfg = build_config(args)
 
-    if args.engine != "grid" and args.impl != "planes":
+    if args.engine != "grid" and args.impl is not None:
         raise SystemExit(
             f"--impl {args.impl} only applies to --engine grid; "
             f"the {args.engine} engine has no linearization-kernel variants"
         )
+    if args.engine == "grid" and args.impl is None:
+        args.impl = "pallas"
 
     est_flops = None
     if args.engine == "grid":
@@ -287,9 +289,15 @@ def measure(args) -> dict:
 def measure_scaling(args) -> dict:
     """Virtual-device scaling sweep (CPU backend, forced 8-way host split).
 
-    Measures the sharded grid engine's whole-solve throughput at 1, 2, 4, 8
-    shards of the same total problem and reports parallel efficiency
-    (t_1 / (n * t_n)). Run in subprocesses so XLA_FLAGS takes effect.
+    Runs the sharded grid engine at 1, 2, 4, 8 shards of the SAME total
+    problem. On a virtual mesh every "device" shares the host's physical
+    cores, so this cannot show real speedup; what it measures is the
+    DISTRIBUTION OVERHEAD t_n / t_1 of the sharded implementation (psum
+    emulation, shard padding, per-shard dispatch) at equal total work —
+    the quantity that must stay small for real-chip scaling to be good.
+    True scaling efficiency (BASELINE row 3, >= 75% at >= 2 hosts) needs
+    real chips; the code path is identical (parallel/multihost.py).
+    Run in subprocesses so XLA_FLAGS takes effect.
     """
     out = {}
     n_points = args.n_points or 4096
@@ -334,8 +342,8 @@ print(json.dumps({{"t": (time.time() - t0) / reps}}))
             raise RuntimeError(f"scaling probe n={n_dev}: {r.stderr[-800:]}")
         out[n_dev] = json.loads(r.stdout.strip().splitlines()[-1])["t"]
     t1 = out[1]
-    eff = {n: t1 / (n * t) for n, t in out.items()}
-    return dict(seconds=out, efficiency=eff)
+    overhead = {n: t / t1 for n, t in out.items()}
+    return dict(seconds=out, overhead=overhead)
 
 
 def cpu_baseline(args) -> float:
@@ -420,17 +428,21 @@ def main(argv=None) -> int:
     args = parse_args(argv)
     if args.scaling:
         result = measure_scaling(args)
-        eff8 = result["efficiency"][8]
+        ov8 = result["overhead"][8]
         print(json.dumps({
-            "metric": "scaling_efficiency_8dev",
-            "value": round(eff8, 4),
-            "unit": "fraction",
-            "vs_baseline": round(eff8 / 0.75, 4),   # target >= 75%
+            "metric": "distribution_overhead_8dev",
+            "value": round(ov8, 4),
+            "unit": "x_single_device_time",
+            "vs_baseline": None,
             "detail": {
+                "note": "virtual shared-core mesh: devices cannot speed up "
+                        "compute; this is the sharded implementation's "
+                        "overhead at equal total work. Real scaling "
+                        "efficiency requires real chips (multihost.py).",
                 "seconds": {str(k): round(v, 4)
                             for k, v in result["seconds"].items()},
-                "efficiency": {str(k): round(v, 4)
-                               for k, v in result["efficiency"].items()},
+                "overhead": {str(k): round(v, 4)
+                             for k, v in result["overhead"].items()},
             },
         }))
         return 0

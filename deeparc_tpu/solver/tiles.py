@@ -424,6 +424,23 @@ def _chunks(arr, B):
     return arr.reshape((n, B) + arr.shape[1:])
 
 
+_TRIU_I, _TRIU_J = np.triu_indices(18)
+
+
+def _sym_pack(h: jnp.ndarray) -> jnp.ndarray:
+    """(..., 18, 18) symmetric -> (..., 171) upper-triangle pack."""
+    return h[..., _TRIU_I, _TRIU_J]
+
+
+def _sym_unpack(v: jnp.ndarray) -> jnp.ndarray:
+    """(..., 171) -> full symmetric (..., 18, 18)."""
+    out = jnp.zeros(v.shape[:-1] + (18, 18), v.dtype)
+    out = out.at[..., _TRIU_I, _TRIU_J].set(v)
+    lower = jnp.swapaxes(out, -1, -2)
+    diag = out * jnp.eye(18, dtype=v.dtype)
+    return out + lower - diag
+
+
 def cells_to_flat(vals: jnp.ndarray, cols: jnp.ndarray, C: int) -> jnp.ndarray:
     """(V, 18) cell-space values -> flat (C,) camera vector (tiny scatter)."""
     return jnp.zeros((C,), vals.dtype).at[cols.reshape(-1)].add(
@@ -469,13 +486,14 @@ def linearize_tiles(
             c = _unpack(sl, B, W)
             cost, r, j_x, j_cam, g_p, hpp = _linearize_chunk(
                 pts, c, xy0, xy1, msk, pf, loss, loss_scale)
-            # camera-side binning shares the chunk's one-hot
+            # camera-side binning shares the chunk's one-hot; the 18x18
+            # Gram is symmetric, so only its 171 upper-triangle entries are
+            # binned (the matmul is the dominant linearize cost)
             g18 = jnp.einsum("bwkc,bwk->bwc", j_cam, r).reshape(B * W, 18)
             gc = jnp.dot(oh.T, g18, preferred_element_type=dtype)
-            h18 = jnp.einsum("bwki,bwkj->bwij", j_cam, j_cam)
+            h18 = _sym_pack(jnp.einsum("bwki,bwkj->bwij", j_cam, j_cam))
             hc = jnp.dot(
-                oh.T, h18.reshape(B * W, 324), preferred_element_type=dtype
-            ).reshape(V, 18, 18)
+                oh.T, h18.reshape(B * W, 171), preferred_element_type=dtype)
             return cost, r, j_x, j_cam, g_p, hpp, gc, hc
 
         out = jax.lax.map(
@@ -493,7 +511,7 @@ def linearize_tiles(
             j_cam=jcam_c.reshape(Nb, W, 2, 18),
         ))
         g_cells = g_cells + jnp.sum(gc_c, axis=0)
-        hcc_cells = hcc_cells + jnp.sum(hc_c, axis=0)
+        hcc_cells = hcc_cells + _sym_unpack(jnp.sum(hc_c, axis=0))
         offset += Nb
 
     tail = points_t.shape[0] - offset

@@ -92,7 +92,7 @@ def test_incremental_converges_to_batch_quality():
         seed=6,
     )
     opts = PipelineOptions(
-        solver=SolverOptions(max_iterations=15, progress_to_stdout=False)
+        solver=SolverOptions(max_iterations=8, progress_to_stdout=False)
     )
     result = run_incremental(rig.data, opts, verbose=False)
     assert result.batches >= 2
@@ -103,6 +103,10 @@ def test_incremental_converges_to_batch_quality():
     assert all(np.isfinite(costs))
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_incremental_free_with_pose_graph_never_hurts():
     """Config 3 on a free-camera scene: incremental BA with the pose-graph
     stage wired in (run_incremental_free) must match or beat the same loop
@@ -112,16 +116,16 @@ def test_incremental_free_with_pose_graph_never_hurts():
     from deeparc_tpu.pipeline.incremental import run_incremental
 
     rig = make_bal_synthetic(
-        n_cameras=10, n_points=120, track_length=6.0,
+        n_cameras=8, n_points=80, track_length=5.0,
         pixel_noise=0.3, point_noise=0.02, ext_noise=0.01, seed=7,
     )
     opts = PipelineOptions(solver=SolverOptions(
-        max_iterations=8, linear_solver="iterative_schur",
-        cg_max_iterations=60,
+        max_iterations=5, linear_solver="iterative_schur",
+        cg_max_iterations=50,
     ))
-    with_pg = run_incremental(rig.data, opts, batch_size=3, verbose=False,
+    with_pg = run_incremental(rig.data, opts, batch_size=4, verbose=False,
                               pose_graph=True)
-    without_pg = run_incremental(rig.data, opts, batch_size=3, verbose=False,
+    without_pg = run_incremental(rig.data, opts, batch_size=4, verbose=False,
                                  pose_graph=False)
     assert with_pg.batches == without_pg.batches
     # pose-graph refinement improves (or at worst matches) the final fit

@@ -162,7 +162,7 @@ def test_grid_solve_reaches_same_minimum(problem):
 
 def test_grid_while_loop_driver(problem):
     scene, grid, free = problem
-    opts = SolverOptions(max_iterations=10)
+    opts = SolverOptions(max_iterations=5)
     a = solve_ba_grid(scene.params, grid, free, opts, driver="python")
     b = solve_ba_grid(scene.params, grid, free, opts, driver="while_loop")
     np.testing.assert_allclose(float(a.cost), float(b.cost), rtol=1e-10)

@@ -262,7 +262,7 @@ def test_grid_engine_robust_loss_matches_indexed():
     )
     scene = from_deeparc(rig.data)
     free = freeze_masks(scene)
-    opts = SolverOptions(max_iterations=20, loss="huber", loss_scale=1.5)
+    opts = SolverOptions(max_iterations=8, loss="huber", loss_scale=1.5)
     a = solve_ba(scene.params, scene.index, free, opts)
     grid = grid_from_scene(scene)
     b = solve_ba_grid(scene.params, grid, free, opts, chunk_size=16)
