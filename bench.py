@@ -60,12 +60,16 @@ def parse_args(argv=None):
                    choices=["grid", "indexed", "tiles"])
     p.add_argument("--dense", action="store_true",
                    help="grid engine: full-visibility rig (no masked waste)")
+    p.add_argument("--bal", action="store_true",
+                   help="tiles engine: BAL-scale non-shared config "
+                        "(1M points, 2000 free cameras, track 8)")
     p.add_argument("--chunk-size", type=int, default=8192)
     p.add_argument("--impl", default=None,
-                   choices=["planes", "einsum", "pallas"],
-                   help="grid-engine linearization kernel (default: the "
-                        "fused Pallas kernel — measured 4.8x the planes "
-                        "impl on the v5e; planes is the pure-XLA fallback)")
+                   choices=["planes", "einsum", "pallas", "xla"],
+                   help="kernel implementation. grid engine: planes | "
+                        "einsum | pallas (default pallas — measured 4.8x "
+                        "planes on the v5e). tiles engine: xla | pallas "
+                        "(default pallas on TPU: fused VMEM sweep kernel)")
     p.add_argument("--cg-iters", type=int, default=30,
                    help="fixed PCG iterations (tiles/indexed engines)")
     p.add_argument("--scaling", action="store_true",
@@ -134,13 +138,17 @@ def measure(args) -> dict:
 
     cfg = build_config(args)
 
-    if args.engine != "grid" and args.impl is not None:
+    valid_impls = {"grid": {"planes", "einsum", "pallas"},
+                   "tiles": {"xla", "pallas"},
+                   "indexed": set()}
+    if args.impl is not None and args.impl not in valid_impls[args.engine]:
         raise SystemExit(
-            f"--impl {args.impl} only applies to --engine grid; "
-            f"the {args.engine} engine has no linearization-kernel variants"
+            f"--impl {args.impl} is not valid for --engine {args.engine} "
+            f"(choices: {sorted(valid_impls[args.engine]) or 'none'})"
         )
-    if args.engine == "grid" and args.impl is None:
-        args.impl = "pallas"
+    if args.impl is None:
+        args.impl = {"grid": "pallas", "tiles": "pallas",
+                     "indexed": None}[args.engine]
 
     est_flops = None
     if args.engine == "grid":
@@ -183,17 +191,31 @@ def measure(args) -> dict:
         est_flops = grid_flops_per_step(
             cfg["n_points"], T, n_ext_rows, K, n_obs_real)
     elif args.engine == "tiles":
-        from deeparc_tpu.io.synthetic import make_tile_rig_device
         from deeparc_tpu.solver.tiles import (
             init_tile_state, make_tile_step,
         )
 
-        params, tiles, _, cam_free = make_tile_rig_device(
-            n_arc=cfg["n_arc"], n_ring=cfg["n_ring"],
-            n_points=cfg["n_points"], track_length=cfg["track_length"],
-            pixel_noise=cfg["pixel_noise"], point_noise=cfg["point_noise"],
-            seed=cfg["seed"], dtype=jnp.float32,
-        )
+        if args.bal:
+            from deeparc_tpu.io.synthetic import make_bal_tile_device
+
+            n_pts = args.n_points or (4_000 if args.quick else 1_000_000)
+            n_cam = 64 if args.quick else 2000
+            params, tiles, _, cam_free = make_bal_tile_device(
+                n_cameras=n_cam, n_points=n_pts, track_length=8,
+                pixel_noise=cfg["pixel_noise"],
+                point_noise=cfg["point_noise"],
+                seed=cfg["seed"], dtype=jnp.float32,
+            )
+        else:
+            from deeparc_tpu.io.synthetic import make_tile_rig_device
+
+            params, tiles, _, cam_free = make_tile_rig_device(
+                n_arc=cfg["n_arc"], n_ring=cfg["n_ring"],
+                n_points=cfg["n_points"], track_length=cfg["track_length"],
+                pixel_noise=cfg["pixel_noise"],
+                point_noise=cfg["point_noise"],
+                seed=cfg["seed"], dtype=jnp.float32,
+            )
         n_ext_rows = params.ext_rot.shape[0]
         cam_free = cam_free.at[: 6].set(0.0)                  # gauge ext 0
         cam_free = cam_free.at[6 * (n_ext_rows - 1): 6 * n_ext_rows].set(0.0)
@@ -208,7 +230,7 @@ def measure(args) -> dict:
             function_tolerance=0.0, gradient_tolerance=0.0,
             parameter_tolerance=0.0,
         )
-        t_step = make_tile_step(options, params)
+        t_step = make_tile_step(options, params, impl=args.impl)
         step = jax.jit(lambda s, t, cf, pf: t_step(s, t, cf, pf)[0],
                        donate_argnums=(0,))
         state = init_tile_state(params, tiles, options, cam_free)
@@ -350,7 +372,8 @@ def cpu_baseline(args) -> float:
     """CPU iter/s for the same config (cached; measured in a subprocess)."""
     cache_path = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
     n = args.n_points or (2_000 if args.quick else 400_000)
-    key = f"cpu_iters_per_sec_{args.engine}{'_dense' if args.dense else ''}_n{n}"
+    tag = ("_dense" if args.dense else "") + ("_bal" if args.bal else "")
+    key = f"cpu_iters_per_sec_{args.engine}{tag}_n{n}"
     if args.engine == "grid" and not args.dense:
         key = f"cpu_iters_per_sec_n{n}"   # legacy cache key, round-1 value
     cache = {}
@@ -366,14 +389,19 @@ def cpu_baseline(args) -> float:
         "--platform", "cpu", "--iters", "3", "--warmup", "1",
         "--engine", args.engine, "--chunk-size", str(args.chunk_size),
         "--cg-iters", str(args.cg_iters),
-        # CPU comparator always runs the pure-XLA planes impl (the Pallas
-        # kernel would run in the interpreter on CPU — not a baseline)
-        "--impl", "planes",
     ]
+    # CPU comparator runs the pure-XLA impl (a Pallas kernel would run in
+    # the interpreter on CPU — not a baseline)
+    if args.engine == "grid":
+        cmd += ["--impl", "planes"]
+    elif args.engine == "tiles":
+        cmd += ["--impl", "xla"]
     if args.quick:
         cmd.append("--quick")
     if args.dense:
         cmd.append("--dense")
+    if args.bal:
+        cmd.append("--bal")
     if args.n_points:
         cmd += ["--n-points", str(args.n_points)]
     out = subprocess.run(
@@ -462,8 +490,9 @@ def main(argv=None) -> int:
         "slot_obs": result["slot_obs"],
         "live_obs_per_sec": round(result["live_obs_per_sec"]),
         "platform": result["platform"], "engine": args.engine,
-        "impl": args.impl if args.engine == "grid" else None,
+        "impl": args.impl,
         "dense": bool(args.dense),
+        "bal": bool(args.bal),
         "seconds_per_iter": round(result["seconds_per_iter"], 6),
         "compile_s": round(result["compile_s"], 2),
     }

@@ -618,3 +618,151 @@ def make_tile_rig_device(
 
     params = _dc.replace(params_gt, points=init_points)
     return params, tiles, gt_points, cam_free
+
+
+def make_bal_tile_device(
+    n_cameras: int = 2000,
+    n_points: int = 1_000_000,
+    track_length: int = 8,
+    rho: float = 3.0,
+    object_radius: float = 1.0,
+    focal: float = 800.0,
+    image_size: tuple = (1024, 1024),
+    pixel_noise: float = 1.0,
+    point_noise: float = 0.02,
+    seed: int = 0,
+    chunk_obs: int = None,
+    dtype=None,
+):
+    """Device-side BAL-style (non-shared) problem directly in TILE layout.
+
+    The at-scale config-5 shape: ``n_cameras`` free cameras on a view
+    sphere (one intrinsic + one extrinsic each, the reference's non-shared
+    mode), every point observing ``track_length`` random cameras. One dense
+    (N, W) tile bucket, W = next_pow2(track_length); cells == cameras.
+    Only the (C, .) camera tables cross the host->device boundary.
+
+    Returns (params_t, tiles, gt_points, cam_free).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deeparc_tpu.scene import BAParams
+    from deeparc_tpu.solver.rig_grid import slot_params
+    from deeparc_tpu.solver.tiles import (
+        CHUNK_OBS, CellTable, TileBucket, TileIndex, pack_cells,
+        rows_per_chunk, _onehot, _project_chunk, _unpack,
+    )
+
+    dtype = dtype or jnp.float32
+    chunk_obs = chunk_obs or CHUNK_OBS
+    rng = np.random.default_rng(seed)
+
+    # host: camera poses on the view sphere (tiny tables)
+    ext_rot = np.zeros((n_cameras, 3))
+    ext_trans = np.zeros((n_cameras, 3))
+    dirs = rng.normal(size=(n_cameras, 3))
+    dirs[:, 1] = np.clip(dirs[:, 1], -0.9, 0.9)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    for c in range(n_cameras):
+        R, t = _look_at(rho * dirs[c], np.zeros(3))
+        ext_rot[c] = _rotmat_to_aa(R)
+        ext_trans[c] = t
+
+    cx, cy = image_size[0] / 2.0, image_size[1] / 2.0
+    center = np.tile([cx, cy], (n_cameras, 1))
+    focal_arr = np.zeros((n_cameras, 2))
+    focal_arr[:, 0] = focal * (1.0 + 0.05 * rng.normal(size=n_cameras))
+    dist_arr = np.zeros((n_cameras, 2))
+    dist_arr[:, 0] = -0.02
+    dist_arr[:, 1] = 0.005
+
+    W = 1 << int(np.ceil(np.log2(max(track_length, 1))))
+    rpc = rows_per_chunk(W, chunk_obs)
+    N_pad = -(-n_points // rpc) * rpc
+    identity = n_cameras
+    R_rows = n_cameras + 1
+
+    params_gt = BAParams(
+        points=jnp.zeros((N_pad, 3), dtype),
+        ext_rot=jnp.asarray(
+            np.concatenate([ext_rot, np.zeros((1, 3))]), dtype),
+        ext_trans=jnp.asarray(
+            np.concatenate([ext_trans, np.zeros((1, 3))]), dtype),
+        center=jnp.asarray(center, dtype),
+        focal=jnp.asarray(focal_arr, dtype),
+        dist=jnp.asarray(dist_arr, dtype),
+    )
+    cam_ids = np.arange(n_cameras)
+    six = np.arange(6)
+    cols = np.concatenate(
+        [cam_ids[:, None] * 6 + six,
+         np.full((n_cameras, 1), identity) * 6 + six,
+         6 * R_rows + cam_ids[:, None] * 6 + six], axis=1).astype(np.int32)
+    cells = CellTable(
+        slot_outer=jnp.asarray(cam_ids, jnp.int32),
+        slot_inner=jnp.full((n_cameras,), identity, jnp.int32),
+        slot_intr=jnp.asarray(cam_ids, jnp.int32),
+        focal_shared=jnp.ones((n_cameras,), dtype),
+        dist_m1=jnp.ones((n_cameras,), dtype),
+        dist_m2=jnp.ones((n_cameras,), dtype),
+        cols=jnp.asarray(cols, jnp.int32),
+    )
+    C = 6 * R_rows + 6 * n_cameras
+    cam_free = jnp.ones((C,), dtype)
+    sp = slot_params(params_gt, cells)
+    packed = pack_cells(sp, cells, cam_free)
+    V = n_cameras
+
+    @jax.jit
+    def synthesize(key):
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        direction = jax.random.normal(k1, (N_pad, 3), dtype)
+        direction = direction / jnp.maximum(
+            jnp.linalg.norm(direction, axis=1, keepdims=True), 1e-9)
+        radii = object_radius * jnp.cbrt(
+            jax.random.uniform(k2, (N_pad, 1), dtype))
+        gt_points = direction * radii
+
+        # track_length distinct random cameras per point (uniform over C)
+        cell = jax.random.randint(
+            k3, (N_pad, W), 0, n_cameras, jnp.int32)
+        # resolve duplicates within a row cheaply: offset repeats
+        sort = jnp.sort(cell, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((N_pad, 1), bool), sort[:, 1:] == sort[:, :-1]],
+            axis=1)
+        cell = (sort + jnp.cumsum(dup, axis=1)) % n_cameras
+        mask = jnp.zeros((N_pad, W), dtype)
+        mask = mask.at[:, :track_length].set(1.0)
+
+        def chunk_fn(args):
+            pts, cl, msk = args
+            oh = _onehot(cl.reshape(-1), V, dtype)
+            sl = jnp.dot(oh, packed, preferred_element_type=dtype)
+            c = _unpack(sl, pts.shape[0], W)
+            zeros = jnp.zeros_like(msk)
+            return _project_chunk(pts, c, zeros, zeros, msk)["r"]
+
+        nch = N_pad // rpc
+        shaped = lambda a: a.reshape((nch, rpc) + a.shape[1:])
+        pred = jax.lax.map(
+            chunk_fn, (shaped(gt_points), shaped(cell), shaped(mask))
+        ).reshape(N_pad, W, 2)
+        xy = pred + pixel_noise * jax.random.normal(k4, pred.shape, dtype)
+        xy = xy * mask[..., None]
+        init_points = gt_points + point_noise * jax.random.normal(
+            k5, gt_points.shape, dtype)
+        return gt_points, init_points, xy[..., 0], xy[..., 1], mask, cell
+
+    gt_points, init_points, xy0, xy1, mask, cell = synthesize(
+        jax.random.PRNGKey(seed))
+    bucket = TileBucket(cell=cell, xy0=xy0, xy1=xy1, mask=mask)
+    tiles = TileIndex(
+        cells=cells, buckets=(bucket,),
+        row_of_point=jnp.arange(N_pad, dtype=jnp.int32),
+    )
+    import dataclasses as _dc
+
+    params = _dc.replace(params_gt, points=init_points)
+    return params, tiles, gt_points, cam_free

@@ -703,7 +703,8 @@ def _block_jacobi(sys: TileSystem, cells: CellTable, cam_aug, cam_free,
 
 
 def make_tile_step(options: SolverOptions, template: BAParams,
-                   chunk_obs: int = CHUNK_OBS, axis: str | None = None):
+                   chunk_obs: int = CHUNK_OBS, axis: str | None = None,
+                   impl: str = "xla"):
     """Pure LM step over the tile layout:
     step(state, tiles, cam_free, point_free_t) -> (state, info).
 
@@ -711,6 +712,12 @@ def make_tile_step(options: SolverOptions, template: BAParams,
     bucket planes) are sharded; all cell-space reductions, the trial cost,
     and trust-region scalars are psum'd, exactly like the grid engine's
     distributed mode (SURVEY.md section 2.5).
+
+    ``impl='pallas'`` routes every observation sweep (rhs, PCG matvec
+    corrections, E dc) through the fused VMEM kernel
+    (kernels/tile_pallas.py) for buckets of width <= MAX_KERNEL_WIDTH; the
+    one-hot selection never leaves VMEM. Wider buckets fall back to the XLA
+    sweep.
     """
     from deeparc_tpu.residuals.reprojection import camera_dim, unflatten_camera
     from deeparc_tpu.solver.ba import StepInfo
@@ -726,6 +733,81 @@ def make_tile_step(options: SolverOptions, template: BAParams,
     def _params_from(cam_vec, points):
         out = unflatten_camera(cam_vec, template)
         return dataclasses.replace(out, points=points)
+
+    def _make_kernel_sweeps(tiles, sys, binv):
+        """Pre-transpose per-bucket planes once; return (sweep, edot)."""
+        from deeparc_tpu.kernels.tile_pallas import (
+            MAX_KERNEL_WIDTH, pack_bucket_planes, tile_sweep,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        V = sys.hcc_cells.shape[0]
+        dtype = sys.g_p.dtype
+        zeros_v = jnp.zeros((V, 18), dtype)
+        planes = []
+        offset = 0
+        for b, blk in zip(tiles.buckets, sys.blocks):
+            Nb, W = b.cell.shape
+            if W > MAX_KERNEL_WIDTH:
+                planes.append(None)
+            else:
+                cell_t, jcam_t, jx_t = pack_bucket_planes(
+                    blk.j_x, blk.j_cam, b.cell)
+                binv_t = binv[offset: offset + Nb].reshape(Nb, 9).T
+                gp_t = sys.g_p[offset: offset + Nb].T
+                planes.append((cell_t, jcam_t, jx_t, binv_t, gp_t, Nb))
+            offset += Nb
+
+        def sweep(v_cells, rhs_mode):
+            out = jnp.zeros((V, 18), dtype)
+            off = 0
+            for i, (b, blk) in enumerate(zip(tiles.buckets, sys.blocks)):
+                Nb, W = b.cell.shape
+                if planes[i] is None:
+                    sub_tiles = TileIndex(
+                        cells=tiles.cells, buckets=(b,),
+                        row_of_point=tiles.row_of_point)
+                    sub_sys = sys._replace(
+                        g_p=sys.g_p[off: off + Nb],
+                        blocks=(blk,))
+                    out = out + _e_sweep(sub_tiles, sub_sys,
+                                         binv[off: off + Nb],
+                                         v_cells, rhs_mode, chunk_obs)
+                else:
+                    cell_t, jcam_t, jx_t, binv_t, gp_t, _ = planes[i]
+                    out = out + tile_sweep(
+                        cell_t, jcam_t, jx_t, binv_t, gp_t,
+                        zeros_v if rhs_mode else v_cells,
+                        mode="rhs" if rhs_mode else "matvec",
+                        interpret=interpret)
+                off += Nb
+            return out
+
+        def edot(v_cells):
+            parts = []
+            off = 0
+            for i, (b, blk) in enumerate(zip(tiles.buckets, sys.blocks)):
+                Nb, W = b.cell.shape
+                if planes[i] is None:
+                    sub_tiles = TileIndex(
+                        cells=tiles.cells, buckets=(b,),
+                        row_of_point=tiles.row_of_point)
+                    sub_sys = sys._replace(
+                        g_p=sys.g_p[off: off + Nb], blocks=(blk,))
+                    parts.append(_e_dot_cells(sub_tiles, sub_sys, v_cells,
+                                              chunk_obs)[:Nb])
+                else:
+                    cell_t, jcam_t, jx_t, binv_t, gp_t, _ = planes[i]
+                    parts.append(tile_sweep(
+                        cell_t, jcam_t, jx_t, binv_t, gp_t, v_cells,
+                        mode="edot", interpret=interpret))
+                off += Nb
+            tail = sys.g_p.shape[0] - off
+            if tail > 0:
+                parts.append(jnp.zeros((tail, 3), dtype))
+            return jnp.concatenate(parts)
+
+        return sweep, edot
 
     def step(state: TileState, tiles: TileIndex, cam_free, point_free_t):
         cols = tiles.cells.cols
@@ -757,8 +839,15 @@ def make_tile_step(options: SolverOptions, template: BAParams,
                           options.max_lm_diagonal)
         cam_aug = d2c / state.tr.radius
 
-        rhs_cells = allsum(
-            _e_sweep(tiles, sys, binv, None, True, chunk_obs))
+        if impl == "pallas":
+            sweep_fn, edot_fn = _make_kernel_sweeps(tiles, sys, binv)
+        else:
+            sweep_fn = lambda v_cells, rhs_mode: _e_sweep(
+                tiles, sys, binv, v_cells, rhs_mode, chunk_obs)
+            edot_fn = lambda v_cells: _e_dot_cells(
+                tiles, sys, v_cells, chunk_obs)
+
+        rhs_cells = allsum(sweep_fn(None, True))
         rhs = (-sys.g_c + cells_to_flat(rhs_cells, cols, C)) * cam_free
 
         def hcc_matvec(v):
@@ -769,8 +858,7 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         def matvec(v):
             vm = v * cam_free
             v_cells = flat_to_cells(vm, cols)
-            corr_cells = allsum(
-                _e_sweep(tiles, sys, binv, v_cells, False, chunk_obs))
+            corr_cells = allsum(sweep_fn(v_cells, False))
             s = (hcc_matvec(vm) + cam_aug * v
                  - cells_to_flat(corr_cells, cols, C))
             return jnp.where(cam_free > 0.5, s, v)
@@ -784,7 +872,7 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         dc = result.x * cam_free
 
         dc_cells = flat_to_cells(dc, cols)
-        e_dc = _e_dot_cells(tiles, sys, dc_cells, chunk_obs)
+        e_dc = edot_fn(dc_cells)
         dp = -jnp.einsum("bij,bj->bi", binv, sys.g_p + e_dc) * point_free_t
 
         # model cost change from the quadratic pieces
@@ -890,6 +978,7 @@ def solve_ba_tiles(
     driver: str = "python",
     chunk_obs: int = CHUNK_OBS,
     min_width: int = 4,
+    impl: str = "xla",
 ):
     """LM to convergence on the tile engine, from a Scene.
 
@@ -905,7 +994,7 @@ def solve_ba_tiles(
     tiles, params_t, free_t = tiles_from_scene(
         scene, free, min_width=min_width, chunk_obs=chunk_obs)
     cam_free = flatten_camera(free)
-    step = make_tile_step(options, params_t, chunk_obs)
+    step = make_tile_step(options, params_t, chunk_obs, impl=impl)
     state = init_tile_state(params_t, tiles, options, cam_free,
                             chunk_obs=chunk_obs)
 

@@ -1,0 +1,87 @@
+"""Pallas tile-sweep kernel (kernels/tile_pallas.py) parity vs the XLA
+sweeps in solver/tiles.py. Interpret mode on CPU; the same code lowers
+natively on TPU (benched by bench.py --engine tiles)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeparc_tpu.config import SolverOptions
+from deeparc_tpu.io.synthetic import make_bal_synthetic
+from deeparc_tpu.kernels.tile_pallas import pack_bucket_planes, tile_sweep
+from deeparc_tpu.residuals.reprojection import camera_dim, flatten_camera
+from deeparc_tpu.scene import freeze_masks, from_deeparc
+from deeparc_tpu.solver.linalg import inv3x3
+from deeparc_tpu.solver.tiles import (
+    _e_dot_cells,
+    _e_sweep,
+    flat_to_cells,
+    linearize_tiles,
+    pack_cells,
+    tiles_from_scene,
+)
+
+CHUNK = 64
+
+
+@pytest.fixture(scope="module")
+def sweep_problem():
+    rig = make_bal_synthetic(
+        n_cameras=10, n_points=90, track_length=5.0,
+        pixel_noise=0.5, point_noise=0.03, seed=9,
+    )
+    scene = from_deeparc(rig.data, dtype=jnp.float64)
+    free = freeze_masks(scene)
+    tiles, params_t, free_t = tiles_from_scene(scene, free, chunk_obs=CHUNK)
+    from deeparc_tpu.solver.rig_grid import slot_params
+
+    cam_free = flatten_camera(free)
+    packed = pack_cells(slot_params(params_t, tiles.cells), tiles.cells,
+                        cam_free)
+    C = camera_dim(params_t)
+    sys = linearize_tiles(params_t.points, packed, tiles, free_t, C, CHUNK)
+    binv = inv3x3(sys.hpp + 0.1 * jnp.eye(3, dtype=jnp.float64))
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=(C,)))
+    v_cells = flat_to_cells(v, tiles.cells.cols)
+    return tiles, sys, binv, v_cells
+
+
+def _kernel_sweep_all(tiles, sys, binv, v_cells, mode):
+    """Run the kernel per bucket and accumulate like _e_sweep does."""
+    V = v_cells.shape[0]
+    out = jnp.zeros((V, 18), jnp.float64)
+    ev_rows = []
+    offset = 0
+    for b, blk in zip(tiles.buckets, sys.blocks):
+        Nb, W = b.cell.shape
+        cell_t, jcam_t, jx_t = pack_bucket_planes(blk.j_x, blk.j_cam, b.cell)
+        binv_t = binv[offset: offset + Nb].reshape(Nb, 9).T
+        gp_t = sys.g_p[offset: offset + Nb].T
+        res = tile_sweep(cell_t, jcam_t, jx_t, binv_t, gp_t, v_cells,
+                         mode=mode, block_n=128, interpret=True)
+        if mode == "edot":
+            ev_rows.append(res)
+        else:
+            out = out + res
+        offset += Nb
+    if mode == "edot":
+        tail = sys.g_p.shape[0] - offset
+        if tail > 0:
+            ev_rows.append(jnp.zeros((tail, 3), jnp.float64))
+        return jnp.concatenate(ev_rows)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["rhs", "matvec", "edot"])
+def test_tile_sweep_kernel_matches_xla(sweep_problem, mode):
+    tiles, sys, binv, v_cells = sweep_problem
+    if mode == "rhs":
+        expected = _e_sweep(tiles, sys, binv, None, True, CHUNK)
+    elif mode == "matvec":
+        expected = _e_sweep(tiles, sys, binv, v_cells, False, CHUNK)
+    else:
+        expected = _e_dot_cells(tiles, sys, v_cells, CHUNK)
+    got = _kernel_sweep_all(tiles, sys, binv, v_cells, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-10, atol=1e-12)
