@@ -75,6 +75,13 @@ def parse_args(argv=None):
     p.add_argument("--scaling", action="store_true",
                    help="sweep 1..8 virtual devices (CPU) and print the "
                         "scaling-efficiency curve")
+    p.add_argument("--time-to-rmse", action="store_true",
+                   help="BASELINE row 4: run the grid engine from the noisy "
+                        "init with real convergence tolerances and report "
+                        "seconds until reprojection RMSE <= --target-rmse")
+    p.add_argument("--target-rmse", type=float, default=1.5,
+                   help="time-to-rmse target in px (default 1.5: just above "
+                        "the sqrt(2)*sigma noise floor of the 1 px/axis rig)")
     p.add_argument("--with-ceres-equiv", action="store_true",
                    help="measure the Ceres-equivalent CPU DENSE_SCHUR anchor "
                         "if not cached (scripts/ceres_equiv_cpu.py; minutes)")
@@ -308,6 +315,96 @@ def measure(args) -> dict:
     return out
 
 
+def measure_time_to_rmse(args) -> dict:
+    """Wall-clock to target reprojection RMSE (BASELINE row 4).
+
+    Runs the grid engine (default impl=pallas on TPU) on the sparse-rig
+    config from its noisy init with REAL Ceres-default convergence
+    tolerances — unlike the iter/s benchmark, steps can be rejected and the
+    trust region does its actual job. Iterations run in on-device
+    ``lax.while_loop`` blocks; between blocks the host derives
+    RMSE = sqrt(2 * cost / n_live_obs) from the replicated state cost
+    (trivial loss, so cost == 0.5 * sum r^2) and stamps the time the target
+    was first met. The clock starts AFTER compilation (compile_s reported
+    separately).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from deeparc_tpu.config import SolverOptions
+    from deeparc_tpu.io.synthetic import make_grid_rig_device
+    from deeparc_tpu.solver.rig_grid import init_grid_state, make_grid_step
+
+    cfg = build_config(args)
+    if args.impl is None:
+        args.impl = "pallas" if jax.default_backend() == "tpu" else "planes"
+    if args.impl not in {"planes", "einsum", "pallas"}:
+        raise SystemExit(f"--impl {args.impl} is not valid for --time-to-rmse"
+                         " (grid engine: planes | einsum | pallas)")
+
+    params, grid, _ = make_grid_rig_device(
+        n_arc=cfg["n_arc"], n_ring=cfg["n_ring"],
+        n_points=cfg["n_points"], visibility=cfg["visibility"],
+        pixel_noise=cfg["pixel_noise"], point_noise=cfg["point_noise"],
+        seed=cfg["seed"], dtype=jnp.float32,
+    )
+    n_ext_rows = params.ext_rot.shape[0]
+    K = params.center.shape[0]
+    cam_free = jnp.ones(6 * n_ext_rows + 6 * K, jnp.float32)
+    cam_free = cam_free.at[:6].set(0.0)
+    cam_free = cam_free.at[6 * (n_ext_rows - 1): 6 * n_ext_rows].set(0.0)
+    cam_free = cam_free.at[6 * n_ext_rows:].set(0.0)
+    point_free = jnp.ones_like(params.points)
+
+    options = SolverOptions(linear_solver="dense_schur", max_iterations=100)
+    g_step = make_grid_step(options, params, args.chunk_size, impl=args.impl)
+    block = 5
+
+    @jax.jit
+    def run_block(s, g, cf, pf):
+        # g/cf/pf must be jit ARGUMENTS: closing over the (n_points, cells)
+        # grid planes would embed them as compile-time constants
+        return jax.lax.while_loop(
+            lambda st: (st.status == 0) & (st.k < s.k + block),
+            lambda st: g_step(st, g, cf, pf)[0],
+            s,
+        )
+
+    n_live = float(jnp.sum(grid.mask))
+    state = init_grid_state(params, grid, options, impl=args.impl)
+    rmse0 = float(jnp.sqrt(2.0 * state.cost / n_live))
+
+    t_c = time.time()
+    probe = run_block(state, grid, cam_free, point_free)  # compile (discarded)
+    float(probe.cost)
+    compile_s = time.time() - t_c
+
+    t0 = time.time()
+    t_hit, k_hit = None, None
+    history = [(0, round(rmse0, 4))]
+    while int(state.status) == 0 and int(state.k) < options.max_iterations:
+        state = run_block(state, grid, cam_free, point_free)
+        rmse = float(jnp.sqrt(2.0 * state.cost / n_live))  # blocks on value
+        now = time.time() - t0
+        history.append((int(state.k), round(rmse, 4)))
+        if t_hit is None and rmse <= args.target_rmse:
+            t_hit, k_hit = now, int(state.k)
+            # keep going to convergence so final_rmse is the true floor
+    total_s = time.time() - t0
+    return dict(
+        time_to_rmse_s=t_hit, iters_to_rmse=k_hit,
+        target_rmse=args.target_rmse,
+        initial_rmse=round(rmse0, 4), final_rmse=history[-1][1],
+        total_iterations=int(state.k), total_s=total_s,
+        status=int(state.status), compile_s=compile_s,
+        n_obs=int(n_live), history=history,
+        platform=jax.devices()[0].platform, impl=args.impl,
+    )
+
+
 def measure_scaling(args) -> dict:
     """Virtual-device scaling sweep (CPU backend, forced 8-way host split).
 
@@ -454,6 +551,37 @@ def ceres_equiv_baseline(args) -> float | None:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.time_to_rmse:
+        result = measure_time_to_rmse(args)
+        vs = None
+        # estimated CPU time-to-RMSE from the cached same-solver CPU iter/s
+        # (a full CPU convergence run at 400k points would take ~hours)
+        try:
+            cache_path = os.path.join(os.path.dirname(__file__),
+                                      ".bench_cache.json")
+            n = args.n_points or (2_000 if args.quick else 400_000)
+            cache = json.load(open(cache_path))
+            cpu_ips = cache.get(f"cpu_iters_per_sec_n{n}")
+            if cpu_ips and result["iters_to_rmse"]:
+                vs = (result["iters_to_rmse"] / cpu_ips) / result[
+                    "time_to_rmse_s"]
+        except Exception:
+            pass
+        print(json.dumps({
+            "metric": "time_to_rmse_seconds",
+            "value": (round(result["time_to_rmse_s"], 3)
+                      if result["time_to_rmse_s"] is not None else None),
+            "unit": "s",
+            "vs_baseline": round(vs, 2) if vs else None,
+            "detail": {
+                k: result[k] for k in (
+                    "iters_to_rmse", "target_rmse", "initial_rmse",
+                    "final_rmse", "total_iterations", "total_s", "status",
+                    "compile_s", "n_obs", "platform", "impl", "history",
+                )
+            },
+        }))
+        return 0
     if args.scaling:
         result = measure_scaling(args)
         ov8 = result["overhead"][8]

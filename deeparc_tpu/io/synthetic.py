@@ -63,6 +63,7 @@ def make_hemisphere_rig(
     dist_coeffs: tuple = (-0.05, 0.01),
     pixel_noise: float = 0.0,
     point_noise: float = 0.0,
+    ext_noise: float = 0.0,
     random_points: bool = False,
     visibility: float = 1.0,
     min_track_length: int = 2,
@@ -73,6 +74,12 @@ def make_hemisphere_rig(
     ``random_points=True`` reproduces the ``teabottle_green_randompoint``
     configuration (BASELINE.json config 2): structure initialized uniformly at
     random in the object's bounding box instead of near the truth.
+
+    ``ext_noise`` perturbs the STORED extrinsics (angle-axis radians and
+    translation units, rows >= 1 — the identity/gauge slot stays exact)
+    while observations are projected from the true cameras: the realistic
+    SfM condition where the full-BA rounds of the pipeline loop actually
+    move the cameras, unlike the exact-camera default.
     """
     rng = np.random.default_rng(seed)
     c_obj = np.array([0.0, 0.0, rho])
@@ -204,13 +211,18 @@ def make_hemisphere_rig(
     else:
         init_points = gt_points.copy()
 
+    init_ext_rot, init_ext_trans = ext_rot.copy(), ext_trans.copy()
+    if ext_noise > 0:
+        init_ext_rot[1:] += rng.normal(scale=ext_noise, size=(n_ext - 1, 3))
+        init_ext_trans[1:] += rng.normal(scale=ext_noise, size=(n_ext - 1, 3))
+
     data = DeepArcData(
         version=0.01, share_extrinsic=True, arc_size=n_arc, ring_size=n_ring,
         obs_arc=obs_arc, obs_ring=obs_ring, obs_point=obs_point, obs_xy=obs_xy,
         center=center, focal=focal_arr,
         focal_size=np.full(K, focal_size, dtype=np.int32),
         dist=dist_arr, dist_size=np.full(K, dist_size, dtype=np.int32),
-        ext_rot=ext_rot.copy(), ext_trans=ext_trans.copy(),
+        ext_rot=init_ext_rot, ext_trans=init_ext_trans,
         points=init_points, colors=colors,
     )
     return SyntheticRig(

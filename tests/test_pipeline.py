@@ -155,6 +155,53 @@ def test_grid_and_indexed_pipelines_agree(tmp_path):
     assert n_grid == n_idx
 
 
+def test_grid_driver_multi_round_filtering_with_snapshots(tmp_path):
+    """>=2 grid filter rounds with snapshots on: pins the driver's
+    late-binding closures (run_solve/run_filter/point_free_of capture
+    ``scene``/``grid`` which are REASSIGNED each round,
+    pipeline/driver.py:159-210) and the per-round snapshot/sidecar paths.
+
+    Multi-round removal is forced with the reference-literal
+    ``parity_inverted`` filter (DeepArcManager.cc:347-349 removes the
+    WELL-fitting observations) on a rig with noisy camera init: round 0's
+    freeze solve leaves most residuals above the boundary (camera error
+    dominates, points-only BA cannot fix it) so little is removed; round
+    1's full BA fixes the cameras, the survivors now fit well, and parity
+    mode removes them — the point count changes again, so the loop takes a
+    further round to stabilize. A converging solve + a
+    fit-quality-dependent filter is exactly the coupling the closures must
+    track across reassignments."""
+    rig = make_hemisphere_rig(
+        n_arc=3, n_ring=6, n_points=120, pixel_noise=0.3, point_noise=0.05,
+        ext_noise=0.01, visibility=0.4, seed=7,
+    )
+    opts = PipelineOptions(
+        engine="grid",
+        solver=SolverOptions(max_iterations=12, progress_to_stdout=False),
+        filter=FilterOptions(error_boundary=2.0, parity_inverted=True),
+        max_filter_rounds=8,
+    )
+    result = run_pipeline(
+        rig.data, opts, output_dir=str(tmp_path), basename="m", verbose=False
+    )
+    assert result.filter_rounds >= 2, result.filter_rounds
+    # one snapshot per round, all non-empty
+    for step in range(result.filter_rounds + 1):
+        p = tmp_path / f"m_adjust_point_{step}.ply"
+        assert p.exists() and p.stat().st_size > 0, p
+    import json as _json
+
+    sidecar = _json.loads((tmp_path / "m_state.json").read_text())
+    assert sidecar["round"] == result.filter_rounds
+    # masks stayed consistent across reassignments: grid-space live counts
+    # equal the scene-space ones the sidecar recorded
+    assert sidecar["points_alive"] == int(
+        np.asarray(result.scene.index.point_mask).sum())
+    # and the final scene still converges/export-parses
+    out = read_deeparc(str(tmp_path / "m_output.deeparc"))
+    assert out.n_points == sidecar["points_alive"]
+
+
 def test_random_point_init_recovers_structure():
     """Config 2 (teabottle_green_randompoint): structure initialized
     uniformly at random in the object box must converge to the same minimum
