@@ -979,10 +979,22 @@ def solve_ba_tiles(
     chunk_obs: int = CHUNK_OBS,
     min_width: int = 4,
     impl: str = "xla",
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+    logger=None,
+    while_block: int = 10,
 ):
     """LM to convergence on the tile engine, from a Scene.
 
     Returns a solver.ba.BAResult with points back in original order.
+
+    Operational features match the grid/indexed drivers (solve_ba_grid,
+    solver/ba.py): wall-clock cap (``src/sfm.cc:71``), Ceres-style progress
+    printing, periodic ``.npz`` solver-state checkpoints in ORIGINAL point
+    order (engine-agnostic; ``resume=True`` re-permutes into tile row
+    space), a JsonlLogger, and a blocked ``lax.while_loop`` driver with the
+    time budget enforced on the host between blocks.
     """
     import time as _time
 
@@ -997,6 +1009,38 @@ def solve_ba_tiles(
     step = make_tile_step(options, params_t, chunk_obs, impl=impl)
     state = init_tile_state(params_t, tiles, options, cam_free,
                             chunk_obs=chunk_obs)
+    start_iter = 0
+    if resume and checkpoint_path:
+        import os as _os
+
+        if _os.path.exists(checkpoint_path):
+            from deeparc_tpu.utils.checkpoint import load_solver_state
+
+            ck_params, scal = load_solver_state(
+                checkpoint_path, dtype=params_t.points.dtype)
+            # checkpoints store original point order; map into row space
+            # (pad/dead rows keep their builder values — their mask is 0).
+            points_ck = params_t.points.at[tiles.row_of_point].set(
+                ck_params.points)
+            params_ck = dataclasses.replace(ck_params, points=points_ck)
+            sp = _cell_slot_params(params_ck, tiles.cells)
+            packed = pack_cells(sp, tiles.cells, cam_free)
+            cost_ck = tile_cost(points_ck, packed, tiles, chunk_obs,
+                                options.loss, options.loss_scale)
+            state = TileState(
+                points=points_ck,
+                cam_vec=flatten_camera(params_ck),
+                cost=cost_ck,
+                tr=tr_mod.TRState(
+                    radius=jnp.asarray(scal["radius"],
+                                       params_t.points.dtype),
+                    decrease_factor=jnp.asarray(
+                        scal["decrease_factor"], params_t.points.dtype),
+                ),
+                k=jnp.asarray(scal["iteration"]),
+                status=jnp.asarray(0),
+            )
+            start_iter = scal["iteration"]
 
     def finish(st, k):
         out = unflatten_camera(st.cam_vec, params_t)
@@ -1007,20 +1051,41 @@ def solve_ba_tiles(
             iterations=int(k), status=int(st.status),
         )
 
+    def _save(st, k):
+        from deeparc_tpu.utils.checkpoint import save_solver_state
+
+        out = unflatten_camera(st.cam_vec, params_t)
+        out = dataclasses.replace(
+            out, points=unpermute_points(st.points, tiles))
+        save_solver_state(
+            checkpoint_path, out, float(st.tr.radius),
+            float(st.tr.decrease_factor), k, float(st.cost),
+        )
+
     if driver == "while_loop":
-        jit_solve = jax.jit(
-            lambda s, t, cf, pf: jax.lax.while_loop(
-                lambda st: (st.status == 0) & (st.k < options.max_iterations),
+        jit_block = jax.jit(
+            lambda s, t, cf, pf, k_stop: jax.lax.while_loop(
+                lambda st: (st.status == 0) & (st.k < k_stop),
                 lambda st: step(st, t, cf, pf)[0],
                 s,
             )
         )
-        final = jit_solve(state, tiles, cam_free, free_t)
-        return finish(final, int(final.k))
+        t0 = _time.time()
+        k = start_iter
+        while int(state.status) == 0 and k < options.max_iterations:
+            if _time.time() - t0 > options.max_seconds:
+                break
+            k_stop = min(k + while_block, options.max_iterations)
+            state = jit_block(state, tiles, cam_free, free_t,
+                              jnp.asarray(k_stop))
+            k = int(state.k)
+            if checkpoint_path:
+                _save(state, k)
+        return finish(state, k)
 
     jit_step = jax.jit(step)
     t0 = _time.time()
-    k = 0
+    k = start_iter
     while int(state.status) == 0 and k < options.max_iterations:
         if _time.time() - t0 > options.max_seconds:
             break
@@ -1032,4 +1097,15 @@ def solve_ba_tiles(
                   f" {float(info.grad_max):>11.4e}"
                   f" {float(info.radius):>10.3e} {float(info.rho):>9.3f}"
                   f" {bool(info.accepted)!s:>6}")
+        if logger is not None:
+            logger.log(
+                "lm_iteration", iter=k, cost=float(info.cost),
+                cost_change=float(info.cost_change),
+                grad_max=float(info.grad_max),
+                step_norm=float(info.step_norm),
+                radius=float(info.radius), rho=float(info.rho),
+                accepted=bool(info.accepted),
+            )
+        if checkpoint_path and k % checkpoint_every == 0:
+            _save(state, k)
     return finish(state, k)

@@ -170,3 +170,52 @@ def test_grid_while_loop_respects_max_seconds():
                         SolverOptions(max_iterations=100, max_seconds=0.0),
                         chunk_size=16, driver="while_loop", while_block=2)
     assert out.iterations == 0
+
+
+def test_tiles_solve_resume_and_logger(tmp_path):
+    """Tile-engine driver parity: checkpoint/resume + JSONL logging.
+
+    Checkpoints are written in ORIGINAL point order (engine-agnostic
+    sidecar); resume must re-permute into tile row space and continue
+    from the saved trust-region state.
+    """
+    from deeparc_tpu.solver.tiles import solve_ba_tiles
+    from deeparc_tpu.utils import JsonlLogger, load_solver_state
+
+    scene, free = _problem()
+    path = str(tmp_path / "ck_tiles.npz")
+    log_path = str(tmp_path / "tiles_log.jsonl")
+    opts = SolverOptions(max_iterations=3)
+    with JsonlLogger(log_path) as logger:
+        a = solve_ba_tiles(scene, free, opts, chunk_obs=16,
+                           checkpoint_path=path, checkpoint_every=1,
+                           logger=logger)
+    records = [json.loads(line) for line in open(log_path)]
+    assert len(records) == a.iterations
+    assert all(r["event"] == "lm_iteration" for r in records)
+    # the sidecar holds original-order points (same count as the scene)
+    ck_params, scal = load_solver_state(path)
+    assert ck_params.points.shape == scene.params.points.shape
+    assert scal["iteration"] == a.iterations
+    b = solve_ba_tiles(scene, free, SolverOptions(max_iterations=10),
+                       chunk_obs=16, checkpoint_path=path,
+                       checkpoint_every=100, resume=True)
+    assert b.iterations >= 3
+    assert float(b.cost) <= float(a.cost) + 1e-9
+
+
+def test_tiles_while_loop_blocked_driver_matches():
+    from deeparc_tpu.solver.tiles import solve_ba_tiles
+
+    scene, free = _problem()
+    a = solve_ba_tiles(scene, free, SolverOptions(max_iterations=4),
+                       chunk_obs=16)
+    b = solve_ba_tiles(scene, free, SolverOptions(max_iterations=4),
+                       chunk_obs=16, driver="while_loop", while_block=2)
+    np.testing.assert_allclose(float(b.cost), float(a.cost), rtol=1e-9)
+    assert b.iterations == a.iterations
+    # zero wall-clock budget stops before the first block
+    c = solve_ba_tiles(scene, free,
+                       SolverOptions(max_iterations=100, max_seconds=0.0),
+                       chunk_obs=16, driver="while_loop", while_block=2)
+    assert c.iterations == 0
