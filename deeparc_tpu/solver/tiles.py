@@ -94,10 +94,32 @@ class TileBucket(NamedTuple):
     mask: jnp.ndarray  # (Nb, W) 1.0 = observed
 
 
+class CamBucket(NamedTuple):
+    """Cells whose (padded/split) slot count is S, as dense (R, S) rows.
+
+    The camera-major dual of TileBucket: one row = the slots of ONE cell
+    (large cells are split across several rows; rows are padded with the
+    point-major sentinel index, which gathers zeros). Because every slot in
+    a row shares a single cell, cell-space lookups are row broadcasts and
+    cell-space binning is a within-row reduce — no one-hot matmuls.
+    """
+
+    row_cell: jnp.ndarray  # (R,) int32 cell id per row
+    slot_idx: jnp.ndarray  # (R, S) int32 point-major flat slot index
+
+
+class CamLayout(NamedTuple):
+    buckets: tuple          # tuple[CamBucket, ...]
+    pm_src: jnp.ndarray     # (M_flat,) int32: point-major slot -> cam-flat
+    #                         position (or F = sentinel for dead slots)
+
+
 class TileIndex(NamedTuple):
     cells: CellTable
     buckets: tuple                 # tuple[TileBucket, ...]
     row_of_point: jnp.ndarray      # (N_orig,) permuted+padded row per point
+    cam: tuple = ()                # () or (CamLayout,) — camera-major dual
+    #                                layout for impl='dual' (with_cam_layout)
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +268,77 @@ def tiles_from_scene(
 def unpermute_points(points_t: jnp.ndarray, tiles: TileIndex) -> jnp.ndarray:
     """Map permuted+padded row space back to original point order."""
     return points_t[tiles.row_of_point]
+
+
+def with_cam_layout(tiles: TileIndex, min_width: int = 8,
+                    max_width: int = 2048) -> TileIndex:
+    """Attach the camera-major dual layout (host-side build, numpy sort).
+
+    For each cell, its live point-major slots become one dense row (split
+    across several rows when the cell sees more than ``max_width``
+    observations; padded to the next power of two otherwise, with pads
+    pointing at the sentinel slot M_flat which gathers zeros). ``pm_src``
+    is the inverse map used to permute narrow per-slot intermediates from
+    camera-major back to point-major flat order inside the dual sweeps.
+    """
+    if tiles.cam:
+        return tiles
+    V = int(tiles.cells.slot_outer.shape[0])
+    cells_flat, live_flat = [], []
+    for b in tiles.buckets:
+        cells_flat.append(np.asarray(b.cell).reshape(-1))
+        live_flat.append(np.asarray(b.mask).reshape(-1) > 0.5)
+    cells_flat = np.concatenate(cells_flat)
+    live = np.concatenate(live_flat)
+    m_flat = cells_flat.shape[0]
+
+    slot_ids = np.nonzero(live)[0].astype(np.int64)
+    order = np.argsort(cells_flat[slot_ids], kind="stable")
+    slot_sorted = slot_ids[order]
+    counts = np.bincount(cells_flat[slot_ids], minlength=V)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    by_width: dict = {}          # S -> (list[cell_id], list[(S,) slot rows])
+    for v in range(V):
+        n = int(counts[v])
+        if n == 0:
+            continue
+        sl = slot_sorted[starts[v]: starts[v] + n]
+        pos = 0
+        while n - pos >= max_width:
+            rc, rows = by_width.setdefault(max_width, ([], []))
+            rc.append(v)
+            rows.append(sl[pos: pos + max_width])
+            pos += max_width
+        rem = n - pos
+        if rem:
+            S = max(min_width, 1 << (rem - 1).bit_length())
+            row = np.full(S, m_flat, np.int64)
+            row[:rem] = sl[pos:]
+            rc, rows = by_width.setdefault(S, ([], []))
+            rc.append(v)
+            rows.append(row)
+
+    pm_src = np.full(m_flat, -1, np.int64)
+    cam_buckets = []
+    cam_off = 0
+    for S in sorted(by_width):
+        rc, rows = by_width[S]
+        rows = np.stack(rows)                      # (R, S)
+        flat_pos = cam_off + np.arange(rows.size, dtype=np.int64)
+        valid = rows.reshape(-1) < m_flat
+        pm_src[rows.reshape(-1)[valid]] = flat_pos[valid]
+        cam_buckets.append(CamBucket(
+            row_cell=jnp.asarray(np.asarray(rc), jnp.int32),
+            slot_idx=jnp.asarray(rows, jnp.int32),
+        ))
+        cam_off += rows.size
+    pm_src[pm_src < 0] = cam_off                   # dead slots -> sentinel
+    cam = CamLayout(
+        buckets=tuple(cam_buckets),
+        pm_src=jnp.asarray(pm_src, jnp.int32),
+    )
+    return tiles._replace(cam=(cam,))
 
 
 # ---------------------------------------------------------------------------
@@ -461,8 +554,14 @@ def linearize_tiles(
     chunk_obs: int = CHUNK_OBS,
     loss: str = "trivial",
     loss_scale: float = 0.5,
+    bin_cam: bool = True,
 ) -> TileSystem:
-    """One full linearization over all buckets."""
+    """One full linearization over all buckets.
+
+    ``bin_cam=False`` skips the in-chunk one-hot camera binning (g_c /
+    hcc_cells / hcc_diag are returned as zeros); impl='dual' bins them
+    through the camera-major layout instead (:func:`_dual_bin_system`).
+    """
     V = packed.shape[0]
     dtype = points_t.dtype
     cols = tiles.cells.cols
@@ -486,6 +585,9 @@ def linearize_tiles(
             c = _unpack(sl, B, W)
             cost, r, j_x, j_cam, g_p, hpp = _linearize_chunk(
                 pts, c, xy0, xy1, msk, pf, loss, loss_scale)
+            if not bin_cam:
+                z = jnp.zeros((), dtype)
+                return cost, r, j_x, j_cam, g_p, hpp, z, z
             # camera-side binning shares the chunk's one-hot; the 18x18
             # Gram is symmetric, so only its 171 upper-triangle entries are
             # binned (the matmul is the dominant linearize cost)
@@ -510,8 +612,9 @@ def linearize_tiles(
             j_x=jx_c.reshape(Nb, W, 2, 3),
             j_cam=jcam_c.reshape(Nb, W, 2, 18),
         ))
-        g_cells = g_cells + jnp.sum(gc_c, axis=0)
-        hcc_cells = hcc_cells + _sym_unpack(jnp.sum(hc_c, axis=0))
+        if bin_cam:
+            g_cells = g_cells + jnp.sum(gc_c, axis=0)
+            hcc_cells = hcc_cells + _sym_unpack(jnp.sum(hc_c, axis=0))
         offset += Nb
 
     tail = points_t.shape[0] - offset
@@ -656,6 +759,111 @@ def _e_dot_cells(
 
 
 # ---------------------------------------------------------------------------
+# Dual-layout sweeps (impl='dual')
+# ---------------------------------------------------------------------------
+# The one-hot sweeps above pay M x V x 18 MXU work per direction, and the
+# 18-wide payload caps MXU utilization at 18/128 of the array. The dual
+# layout removes the one-hots entirely: j_cam is materialized ONCE per LM
+# step in camera-major rows (CamLayout), where the cell-space lookup is a
+# row broadcast and the binning is a within-row reduce. Each sweep then
+# only permutes 2-float-per-slot intermediates between the layouts
+# (cam-major pass A -> point-major B^-1 middle -> cam-major binning).
+
+
+def _dual_prep(tiles: TileIndex, sys: TileSystem) -> tuple:
+    """Camera-major copies of j_cam, one gather per LM step (reused by all
+    PCG sweeps and the system binning)."""
+    cam = tiles.cam[0]
+    dtype = sys.g_p.dtype
+    jcam_flat = jnp.concatenate(
+        [blk.j_cam.reshape(-1, 2, 18) for blk in sys.blocks])
+    jcam_pad = jnp.concatenate([jcam_flat, jnp.zeros((1, 2, 18), dtype)])
+    return tuple(jcam_pad[cb.slot_idx] for cb in cam.buckets)
+
+
+def _dual_bin_system(tiles: TileIndex, sys: TileSystem, jcam_cms: tuple,
+                     V: int):
+    """g_cells (V, 18) + hcc_cells (V, 18, 18) binned through the cam rows
+    (replaces the one-hot gc/hc matmuls of linearize_tiles)."""
+    cam = tiles.cam[0]
+    dtype = sys.g_p.dtype
+    r_flat = jnp.concatenate([blk.r.reshape(-1, 2) for blk in sys.blocks])
+    r_pad = jnp.concatenate([r_flat, jnp.zeros((1, 2), dtype)])
+    g = jnp.zeros((V, 18), dtype)
+    h = jnp.zeros((V, 18, 18), dtype)
+    for cb, jc in zip(cam.buckets, jcam_cms):
+        r_cm = r_pad[cb.slot_idx]
+        g = g.at[cb.row_cell].add(jnp.einsum("rskc,rsk->rc", jc, r_cm))
+        h = h.at[cb.row_cell].add(jnp.einsum("rski,rskj->rij", jc, jc))
+    return g, h
+
+
+def _dual_pass_t(cam: CamLayout, jcam_cms: tuple, v_cells, dtype):
+    """Pass A: t = J_cam v per slot in cam-major order, permuted back to
+    point-major flat order (M_flat, 2)."""
+    parts = [
+        jnp.einsum("rskc,rc->rsk", jc, v_cells[cb.row_cell]).reshape(-1, 2)
+        for cb, jc in zip(cam.buckets, jcam_cms)
+    ]
+    t_cm = jnp.concatenate(parts + [jnp.zeros((1, 2), dtype)])
+    return t_cm[cam.pm_src]
+
+
+def _dual_mid(sys: TileSystem, binv, t_pm, rhs_mode: bool):
+    """Point-major middle: w = B^-1 (E v | g_p); returns t2 = J_x w per
+    slot as point-major flat (M_flat, 2)."""
+    t2_parts = []
+    off_pt = off_slot = 0
+    for blk in sys.blocks:
+        Nb, W = blk.j_x.shape[:2]
+        if rhs_mode:
+            ev = sys.g_p[off_pt: off_pt + Nb]
+        else:
+            t_b = t_pm[off_slot: off_slot + Nb * W].reshape(Nb, W, 2)
+            ev = jnp.einsum("bwki,bwk->bi", blk.j_x, t_b)
+        w = jnp.einsum("bij,bj->bi", binv[off_pt: off_pt + Nb], ev)
+        t2_parts.append(jnp.einsum("bwki,bi->bwk", blk.j_x, w).reshape(-1, 2))
+        off_pt += Nb
+        off_slot += Nb * W
+    return jnp.concatenate(t2_parts)
+
+
+def _dual_sweep(tiles: TileIndex, sys: TileSystem, binv, jcam_cms: tuple,
+                v_cells, rhs_mode: bool):
+    """E^T B^-1 g_p (rhs_mode) or E^T B^-1 E v, binned to (V, 18)."""
+    cam = tiles.cam[0]
+    V = sys.hcc_cells.shape[0]
+    dtype = sys.g_p.dtype
+    t_pm = None if rhs_mode else _dual_pass_t(cam, jcam_cms, v_cells, dtype)
+    t2_pm = _dual_mid(sys, binv, t_pm, rhs_mode)
+    t2_pad = jnp.concatenate([t2_pm, jnp.zeros((1, 2), dtype)])
+    out = jnp.zeros((V, 18), dtype)
+    for cb, jc in zip(cam.buckets, jcam_cms):
+        u = jnp.einsum("rskc,rsk->rc", jc, t2_pad[cb.slot_idx])
+        out = out.at[cb.row_cell].add(u)
+    return out
+
+
+def _dual_edot(tiles: TileIndex, sys: TileSystem, jcam_cms: tuple, v_cells):
+    """(E v) per point row (Nrows, 3)."""
+    cam = tiles.cam[0]
+    dtype = sys.g_p.dtype
+    t_pm = _dual_pass_t(cam, jcam_cms, v_cells, dtype)
+    parts = []
+    off_pt = off_slot = 0
+    for blk in sys.blocks:
+        Nb, W = blk.j_x.shape[:2]
+        t_b = t_pm[off_slot: off_slot + Nb * W].reshape(Nb, W, 2)
+        parts.append(jnp.einsum("bwki,bwk->bi", blk.j_x, t_b))
+        off_pt += Nb
+        off_slot += Nb * W
+    tail = sys.g_p.shape[0] - off_pt
+    if tail > 0:
+        parts.append(jnp.zeros((tail, 3), dtype))
+    return jnp.concatenate(parts)
+
+
+# ---------------------------------------------------------------------------
 # The LM step
 # ---------------------------------------------------------------------------
 
@@ -718,9 +926,18 @@ def make_tile_step(options: SolverOptions, template: BAParams,
     (kernels/tile_pallas.py) for buckets of width <= MAX_KERNEL_WIDTH; the
     one-hot selection never leaves VMEM. Wider buckets fall back to the XLA
     sweep.
+
+    ``impl='dual'`` (fastest at large cell counts) uses the camera-major
+    dual layout: requires ``with_cam_layout(tiles)``; sweeps and camera
+    binning carry no one-hot matmuls at all (see the dual-layout section
+    above). Single-device only for now (incompatible with ``axis``).
     """
     from deeparc_tpu.residuals.reprojection import camera_dim, unflatten_camera
     from deeparc_tpu.solver.ba import StepInfo
+
+    if impl == "dual" and axis is not None:
+        raise ValueError("impl='dual' does not support the sharded step yet;"
+                         " use impl='xla' or 'pallas' with axis")
 
     C = camera_dim(template)
 
@@ -818,7 +1035,21 @@ def make_tile_step(options: SolverOptions, template: BAParams,
 
         sys = linearize_tiles(
             state.points, packed, tiles, point_free_t, C, chunk_obs,
-            options.loss, options.loss_scale)
+            options.loss, options.loss_scale, bin_cam=(impl != "dual"))
+        if impl == "dual":
+            if not tiles.cam:
+                raise ValueError(
+                    "impl='dual' needs the camera-major layout; build the "
+                    "TileIndex with with_cam_layout(tiles)")
+            jcam_cms = _dual_prep(tiles, sys)
+            g_cells, hcc = _dual_bin_system(
+                tiles, sys, jcam_cms, tiles.cells.cols.shape[0])
+            sys = sys._replace(
+                g_c=cells_to_flat(g_cells, cols, C),
+                hcc_cells=hcc,
+                hcc_diag=cells_to_flat(
+                    jnp.diagonal(hcc, axis1=-2, axis2=-1), cols, C),
+            )
         sys = sys._replace(
             cost=allsum(sys.cost),
             g_c=allsum(sys.g_c),
@@ -841,6 +1072,11 @@ def make_tile_step(options: SolverOptions, template: BAParams,
 
         if impl == "pallas":
             sweep_fn, edot_fn = _make_kernel_sweeps(tiles, sys, binv)
+        elif impl == "dual":
+            sweep_fn = lambda v_cells, rhs_mode: _dual_sweep(
+                tiles, sys, binv, jcam_cms, v_cells, rhs_mode)
+            edot_fn = lambda v_cells: _dual_edot(
+                tiles, sys, jcam_cms, v_cells)
         else:
             sweep_fn = lambda v_cells, rhs_mode: _e_sweep(
                 tiles, sys, binv, v_cells, rhs_mode, chunk_obs)
@@ -1005,6 +1241,8 @@ def solve_ba_tiles(
 
     tiles, params_t, free_t = tiles_from_scene(
         scene, free, min_width=min_width, chunk_obs=chunk_obs)
+    if impl == "dual":
+        tiles = with_cam_layout(tiles)
     cam_free = flatten_camera(free)
     step = make_tile_step(options, params_t, chunk_obs, impl=impl)
     state = init_tile_state(params_t, tiles, options, cam_free,

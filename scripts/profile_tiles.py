@@ -87,10 +87,15 @@ def main():
     sp = _cell_slot_params(params, tiles.cells)
     packed = pack_cells(sp, tiles.cells, cam_free)
 
-    lin = jax.jit(lambda pts: linearize_tiles(
-        pts, packed, tiles, point_free, C))
-    t_lin = timed(lin, params.points, reps=args.reps)
-    sys = lin(params.points)
+    # NOTE: device arrays (tiles, packed, the linearized system) must be jit
+    # ARGUMENTS, not closures — closed-over arrays are baked into the HLO as
+    # constants, and on the axon relay the compile request then exceeds the
+    # tunnel body limit (HTTP 413) at BA sizes.
+    lin = jax.jit(lambda pts, pk, t, pf: linearize_tiles(pts, pk, t, pf, C))
+    t_lin = timed(lin, params.points, packed, tiles, point_free,
+                  reps=args.reps)
+    print(f"linearize        {t_lin * 1e3:9.1f} ms")
+    sys = lin(params.points, packed, tiles, point_free)
 
     diag = jnp.diagonal(sys.hpp, axis1=-2, axis2=-1)
     d2p = lm_diagonal(diag, opts.min_lm_diagonal, opts.max_lm_diagonal)
@@ -99,44 +104,47 @@ def main():
     v_cells = jnp.ones((V, 18), jnp.float32) * 1e-3
 
     t_cost = timed(
-        jax.jit(lambda pts: tile_cost(pts, packed, tiles)),
-        params.points, reps=args.reps)
+        jax.jit(lambda pts, pk, t: tile_cost(pts, pk, t)),
+        params.points, packed, tiles, reps=args.reps)
+    print(f"trial_cost       {t_cost * 1e3:9.1f} ms")
 
-    xla_rhs = jax.jit(lambda b: _e_sweep(tiles, sys, b, None, True))
-    xla_mv = jax.jit(lambda b, v: _e_sweep(tiles, sys, b, v, False))
-    xla_ed = jax.jit(lambda v: _e_dot_cells(tiles, sys, v))
-    t_xla_rhs = timed(xla_rhs, binv, reps=args.reps)
-    t_xla_mv = timed(xla_mv, binv, v_cells, reps=args.reps)
-    t_xla_ed = timed(xla_ed, v_cells, reps=args.reps)
+    xla_rhs = jax.jit(lambda t, s, b: _e_sweep(t, s, b, None, True))
+    xla_mv = jax.jit(lambda t, s, b, v: _e_sweep(t, s, b, v, False))
+    xla_ed = jax.jit(lambda t, s, v: _e_dot_cells(t, s, v))
+    t_xla_rhs = timed(xla_rhs, tiles, sys, binv, reps=args.reps)
+    t_xla_mv = timed(xla_mv, tiles, sys, binv, v_cells, reps=args.reps)
+    t_xla_ed = timed(xla_ed, tiles, sys, v_cells, reps=args.reps)
+    print(f"sweeps xla       rhs {t_xla_rhs * 1e3:9.1f} ms   "
+          f"mv {t_xla_mv * 1e3:9.1f} ms   edot {t_xla_ed * 1e3:9.1f} ms")
 
     interpret = jax.default_backend() != "tpu"
     zeros_v = jnp.zeros((V, 18), jnp.float32)
 
-    def pallas_mode(mode, v):
+    def pallas_mode(mode, v, t, s, bi):
         out = None
         offset = 0
-        for b, blk in zip(tiles.buckets, sys.blocks):
+        for b, blk in zip(t.buckets, s.blocks):
             Nb, W = b.cell.shape
             cell_t, jcam_t, jx_t = pack_bucket_planes(blk.j_x, blk.j_cam,
                                                       b.cell)
-            binv_t = binv[offset: offset + Nb].reshape(Nb, 9).T
-            gp_t = sys.g_p[offset: offset + Nb].T
+            binv_t = bi[offset: offset + Nb].reshape(Nb, 9).T
+            gp_t = s.g_p[offset: offset + Nb].T
             r = tile_sweep(cell_t, jcam_t, jx_t, binv_t, gp_t, v,
                            mode=mode, interpret=interpret)
             out = r if out is None else (out + r if mode != "edot" else out)
             offset += Nb
         return out
 
-    t_p_rhs = timed(jax.jit(lambda: pallas_mode("rhs", zeros_v)),
-                    reps=args.reps)
-    t_p_mv = timed(jax.jit(lambda v: pallas_mode("matvec", v)), v_cells,
-                   reps=args.reps)
-    t_p_ed = timed(jax.jit(lambda v: pallas_mode("edot", v)), v_cells,
-                   reps=args.reps)
+    t_p_rhs = timed(
+        jax.jit(lambda t, s, bi: pallas_mode("rhs", zeros_v, t, s, bi)),
+        tiles, sys, binv, reps=args.reps)
+    t_p_mv = timed(
+        jax.jit(lambda t, s, bi, v: pallas_mode("matvec", v, t, s, bi)),
+        tiles, sys, binv, v_cells, reps=args.reps)
+    t_p_ed = timed(
+        jax.jit(lambda t, s, bi, v: pallas_mode("edot", v, t, s, bi)),
+        tiles, sys, binv, v_cells, reps=args.reps)
 
-    cg = opts.cg_max_iterations
-    print(f"linearize        {t_lin * 1e3:9.1f} ms")
-    print(f"trial_cost       {t_cost * 1e3:9.1f} ms")
     print(f"sweep rhs   xla  {t_xla_rhs * 1e3:9.1f} ms   "
           f"pallas {t_p_rhs * 1e3:9.1f} ms")
     print(f"sweep mv    xla  {t_xla_mv * 1e3:9.1f} ms   "
