@@ -62,7 +62,14 @@ def parse_args(argv=None):
                    help="grid engine: full-visibility rig (no masked waste)")
     p.add_argument("--bal", action="store_true",
                    help="tiles engine: BAL-scale non-shared config "
-                        "(1M points, 2000 free cameras, track 8)")
+                        "(1M points, 2000 free cameras, track 8, windowed "
+                        "co-visibility — the locality real BAL scenes have)")
+    p.add_argument("--bal-random", action="store_true",
+                   help="--bal with the round-2 uniform-random camera graph "
+                        "(no locality; engines use global cell tables)")
+    p.add_argument("--window", type=int, default=128,
+                   help="--bal co-visibility window (cameras per chunk "
+                        "neighborhood)")
     p.add_argument("--chunk-size", type=int, default=8192)
     p.add_argument("--impl", default=None,
                    choices=["planes", "einsum", "pallas", "xla"],
@@ -89,6 +96,8 @@ def parse_args(argv=None):
 
 
 def build_config(args):
+    if args.bal_random:
+        args.bal = True
     n_points = args.n_points or (2_000 if args.quick else 400_000)
     # 8 arcs x 24 rings; sparse config thins visibility to mean track ~ 10
     return dict(
@@ -119,13 +128,15 @@ def grid_flops_per_step(n_points, T, R, K, n_live):
 def tile_flops_per_step(n_rows, W, V, cg_iters):
     """Analytic FLOPs for one tile-engine LM step.
 
-    Per slot: one-hot lookup (2*78*V) + camera binning (2*(18+324)*V) at
+    Per slot: one-hot lookup (2*78*V) + camera binning (2*(18+171)*V) at
     linearize; each PCG matvec sweep costs ~2*2*18*V per slot (one-hot
     lookup of v + binned scatter) plus ~200 flop of einsum work; the rhs,
     back-substitution, and trial-cost sweeps add ~3 lookup-weight sweeps.
+    With locality blocking V here is V_LOCAL (the per-chunk table width),
+    not the global cell count — that reduction IS the optimization.
     """
     slots = n_rows * W
-    lin = slots * (2 * 78 * V + 2 * 171 * V + 700)
+    lin = slots * (2 * 78 * V + 2 * 189 * V + 700)
     sweep = slots * (2 * 2 * 18 * V + 200)
     return lin + (cg_iters + 3) * sweep
 
@@ -212,6 +223,7 @@ def measure(args) -> dict:
                 pixel_noise=cfg["pixel_noise"],
                 point_noise=cfg["point_noise"],
                 seed=cfg["seed"], dtype=jnp.float32,
+                window=None if args.bal_random else args.window,
             )
         else:
             from deeparc_tpu.io.synthetic import make_tile_rig_device
@@ -246,8 +258,10 @@ def measure(args) -> dict:
         n_points_real = int(params.points.shape[0])
         n_rows, W = tiles.buckets[0].cell.shape
         V = int(tiles.cells.slot_outer.shape[0])
+        v_eff = (int(tiles.buckets[0].loc[1].shape[1])
+                 if tiles.buckets[0].loc else V)
         slot_obs = n_rows * W
-        est_flops = tile_flops_per_step(n_rows, W, V, args.cg_iters)
+        est_flops = tile_flops_per_step(n_rows, W, v_eff, args.cg_iters)
     else:
         from deeparc_tpu.solver.ba import init_state, make_step_pure
 
@@ -312,6 +326,8 @@ def measure(args) -> dict:
     )
     if est_flops is not None:
         out["est_tflops"] = est_flops * ips / 1e12
+    if args.engine == "tiles":
+        out["v_local"] = v_eff if args.engine == "tiles" else None
     return out
 
 
@@ -469,7 +485,8 @@ def cpu_baseline(args) -> float:
     """CPU iter/s for the same config (cached; measured in a subprocess)."""
     cache_path = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
     n = args.n_points or (2_000 if args.quick else 400_000)
-    tag = ("_dense" if args.dense else "") + ("_bal" if args.bal else "")
+    tag = ("_dense" if args.dense else "") + ("_bal" if args.bal else "") + (
+        "rand" if args.bal_random else "")
     key = f"cpu_iters_per_sec_{args.engine}{tag}_n{n}"
     if args.engine == "grid" and not args.dense:
         key = f"cpu_iters_per_sec_n{n}"   # legacy cache key, round-1 value
@@ -499,6 +516,8 @@ def cpu_baseline(args) -> float:
         cmd.append("--dense")
     if args.bal:
         cmd.append("--bal")
+    if args.bal_random:
+        cmd.append("--bal-random")
     if args.n_points:
         cmd += ["--n-points", str(args.n_points)]
     out = subprocess.run(
@@ -621,11 +640,14 @@ def main(argv=None) -> int:
         "impl": args.impl,
         "dense": bool(args.dense),
         "bal": bool(args.bal),
+        "bal_random": bool(args.bal_random),
         "seconds_per_iter": round(result["seconds_per_iter"], 6),
         "compile_s": round(result["compile_s"], 2),
     }
     if "est_tflops" in result:
         detail["est_tflops"] = round(result["est_tflops"], 3)
+    if result.get("v_local") is not None:
+        detail["v_local"] = result["v_local"]
     if args.engine == "grid" and not args.dense:
         try:
             ce = ceres_equiv_baseline(args)

@@ -71,7 +71,7 @@ class PipelineOptions:
     hemisphere_max_iterations: int = 1000   # sfm.cc:97
     write_snapshots: bool = True
     max_filter_rounds: int = 100            # safety cap on the while loop
-    # 'auto' = dense (points x cells) grid engine for shared-extrinsic rigs
-    # (the TPU-native path), observation-list engine otherwise;
-    # 'grid' / 'indexed' force one.
+    # 'auto' = dense (points x cells) grid engine for shared-extrinsic rigs,
+    # tile engine for non-shared (BAL-style) scenes — the two TPU-native
+    # at-scale paths; 'grid' / 'indexed' / 'tiles' force one.
     engine: str = "auto"

@@ -645,14 +645,23 @@ def make_bal_tile_device(
     seed: int = 0,
     chunk_obs: int = None,
     dtype=None,
+    window: int | None = 128,
 ):
     """Device-side BAL-style (non-shared) problem directly in TILE layout.
 
     The at-scale config-5 shape: ``n_cameras`` free cameras on a view
     sphere (one intrinsic + one extrinsic each, the reference's non-shared
-    mode), every point observing ``track_length`` random cameras. One dense
+    mode), every point observing ``track_length`` cameras. One dense
     (N, W) tile bucket, W = next_pow2(track_length); cells == cameras.
     Only the (C, .) camera tables cross the host->device boundary.
+
+    ``window`` (default 128) models real BAL co-visibility locality:
+    cameras are ordered by azimuth and each chunk of points draws its
+    tracks from one sliding window of ``window`` consecutive cameras, so
+    the bucket carries exact locality blocking (TileBucket.loc) by
+    construction — the structure venice/final-class scenes have and the
+    tile engine's local tables exploit. ``window=None`` reproduces the
+    round-2 uniform-random graph (no locality; global tables).
 
     Returns (params_t, tiles, gt_points, cam_free).
     """
@@ -676,6 +685,11 @@ def make_bal_tile_device(
     dirs = rng.normal(size=(n_cameras, 3))
     dirs[:, 1] = np.clip(dirs[:, 1], -0.9, 0.9)
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    if window is not None:
+        window = min(window, n_cameras)
+        # order cameras along the sphere so consecutive ids are physically
+        # adjacent — the windowed co-visibility below is then geometric
+        dirs = dirs[np.argsort(np.arctan2(dirs[:, 2], dirs[:, 0]))]
     for c in range(n_cameras):
         R, t = _look_at(rho * dirs[c], np.zeros(3))
         ext_rot[c] = _rotmat_to_aa(R)
@@ -726,6 +740,19 @@ def make_bal_tile_device(
     packed = pack_cells(sp, cells, cam_free)
     V = n_cameras
 
+    nch = N_pad // rpc
+    if window is not None:
+        # sliding co-visibility windows: chunk c's tracks live in cameras
+        # [starts[c], starts[c] + window) — exact loc tables by construction
+        starts_np = (np.arange(nch) * max(n_cameras - window, 0)
+                     // max(nch - 1, 1)).astype(np.int32)
+        chunk_cells = jnp.asarray(
+            starts_np[:, None] + np.arange(window, dtype=np.int32)[None, :])
+        starts_dev = jnp.asarray(starts_np)
+    else:
+        chunk_cells = None
+        starts_dev = None
+
     @jax.jit
     def synthesize(key):
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -736,40 +763,53 @@ def make_bal_tile_device(
             jax.random.uniform(k2, (N_pad, 1), dtype))
         gt_points = direction * radii
 
-        # track_length distinct random cameras per point (uniform over C)
-        cell = jax.random.randint(
-            k3, (N_pad, W), 0, n_cameras, jnp.int32)
+        # track_length distinct cameras per point (window-local or uniform)
+        hi = window if window is not None else n_cameras
+        cell = jax.random.randint(k3, (N_pad, W), 0, hi, jnp.int32)
         # resolve duplicates within a row cheaply: offset repeats
         sort = jnp.sort(cell, axis=1)
         dup = jnp.concatenate(
             [jnp.zeros((N_pad, 1), bool), sort[:, 1:] == sort[:, :-1]],
             axis=1)
-        cell = (sort + jnp.cumsum(dup, axis=1)) % n_cameras
+        local = (sort + jnp.cumsum(dup, axis=1)) % hi
+        if window is not None:
+            row_start = jnp.repeat(starts_dev, rpc)
+            cell = local + row_start[:, None]
+        else:
+            cell = local
         mask = jnp.zeros((N_pad, W), dtype)
         mask = mask.at[:, :track_length].set(1.0)
 
         def chunk_fn(args):
-            pts, cl, msk = args
-            oh = _onehot(cl.reshape(-1), V, dtype)
-            sl = jnp.dot(oh, packed, preferred_element_type=dtype)
+            pts, cl, msk = args[:3]
+            if window is not None:
+                oh = _onehot(cl.reshape(-1), window, dtype)
+                table = packed[args[3]]
+            else:
+                oh = _onehot(cl.reshape(-1), V, dtype)
+                table = packed
+            sl = jnp.dot(oh, table, preferred_element_type=dtype)
             c = _unpack(sl, pts.shape[0], W)
             zeros = jnp.zeros_like(msk)
             return _project_chunk(pts, c, zeros, zeros, msk)["r"]
 
-        nch = N_pad // rpc
         shaped = lambda a: a.reshape((nch, rpc) + a.shape[1:])
-        pred = jax.lax.map(
-            chunk_fn, (shaped(gt_points), shaped(cell), shaped(mask))
-        ).reshape(N_pad, W, 2)
+        plane = local if window is not None else cell
+        margs = (shaped(gt_points), shaped(plane), shaped(mask))
+        if window is not None:
+            margs = margs + (chunk_cells,)
+        pred = jax.lax.map(chunk_fn, margs).reshape(N_pad, W, 2)
         xy = pred + pixel_noise * jax.random.normal(k4, pred.shape, dtype)
         xy = xy * mask[..., None]
         init_points = gt_points + point_noise * jax.random.normal(
             k5, gt_points.shape, dtype)
-        return gt_points, init_points, xy[..., 0], xy[..., 1], mask, cell
+        return (gt_points, init_points, xy[..., 0], xy[..., 1], mask, cell,
+                local)
 
-    gt_points, init_points, xy0, xy1, mask, cell = synthesize(
+    gt_points, init_points, xy0, xy1, mask, cell, local = synthesize(
         jax.random.PRNGKey(seed))
-    bucket = TileBucket(cell=cell, xy0=xy0, xy1=xy1, mask=mask)
+    loc = (local, chunk_cells) if window is not None else ()
+    bucket = TileBucket(cell=cell, xy0=xy0, xy1=xy1, mask=mask, loc=loc)
     tiles = TileIndex(
         cells=cells, buckets=(bucket,),
         row_of_point=jnp.arange(N_pad, dtype=jnp.int32),

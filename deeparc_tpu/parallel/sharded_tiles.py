@@ -58,7 +58,10 @@ def shard_tile_rows(params_t: BAParams, tiles: TileIndex, point_free_t,
     offset = 0
     for b in tiles.buckets:
         Nb, W = b.cell.shape
-        rpc = rows_per_chunk(W, chunk_obs)
+        if b.loc:
+            rpc = Nb // b.loc[1].shape[0]   # loc blocking fixes rows/chunk
+        else:
+            rpc = rows_per_chunk(W, chunk_obs)
         quantum = n_shards * rpc
         Nb_pad = -(-Nb // quantum) * quantum
         pad = Nb_pad - Nb
@@ -68,11 +71,23 @@ def shard_tile_rows(params_t: BAParams, tiles: TileIndex, point_free_t,
             return np.concatenate(
                 [arr, np.full((pad,) + arr.shape[1:], fill, arr.dtype)])
 
+        loc = ()
+        if b.loc:
+            local, chunk_cells = b.loc
+            pad_chunks = Nb_pad // rpc - chunk_cells.shape[0]
+            loc = (
+                jnp.asarray(pad_rows(local)),
+                jnp.asarray(np.concatenate([
+                    np.asarray(chunk_cells),
+                    np.zeros((pad_chunks, chunk_cells.shape[1]), np.int32),
+                ])),
+            )
         new_buckets.append(TileBucket(
             cell=jnp.asarray(pad_rows(b.cell)),
             xy0=jnp.asarray(pad_rows(b.xy0), dtype),
             xy1=jnp.asarray(pad_rows(b.xy1), dtype),
             mask=jnp.asarray(pad_rows(b.mask), dtype),
+            loc=loc,
         ))
         blocks.append((
             np.concatenate([pts[offset: offset + Nb],
@@ -155,7 +170,11 @@ def solve_ba_tiles_sharded(
     spec = P(axis)
 
     buckets_in = tuple(
-        TileBucket(*(jnp.asarray(x) for x in b)) for b in tiles_p.buckets)
+        TileBucket(
+            cell=jnp.asarray(b.cell), xy0=jnp.asarray(b.xy0),
+            xy1=jnp.asarray(b.xy1), mask=jnp.asarray(b.mask),
+            loc=tuple(jnp.asarray(x) for x in b.loc),
+        ) for b in tiles_p.buckets)
 
     def spmd(points, point_free, buckets, cells, cam_free):
         t = TileIndex(cells=cells, buckets=buckets,
@@ -171,8 +190,9 @@ def solve_ba_tiles_sharded(
         return final.points, final.cam_vec, final.cost, final.k, final.status
 
     bucket_specs = tuple(
-        TileBucket(cell=spec, xy0=spec, xy1=spec, mask=spec)
-        for _ in buckets_in)
+        TileBucket(cell=spec, xy0=spec, xy1=spec, mask=spec,
+                   loc=(spec, spec) if b.loc else ())
+        for b in buckets_in)
     fn = shard_map(
         spmd,
         mesh=mesh,

@@ -34,8 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--linear-solver", default="dense_schur",
                    choices=["dense_schur", "iterative_schur"])
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "grid", "indexed"],
-                   help="auto = dense grid engine for shared rigs")
+                   choices=["auto", "grid", "indexed", "tiles"],
+                   help="auto = dense grid engine for shared rigs, tile "
+                        "engine for non-shared (BAL-style) scenes; indexed "
+                        "= the observation-list engine (small problems)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans: fail loudly at the first NaN "

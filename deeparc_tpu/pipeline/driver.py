@@ -148,6 +148,12 @@ def run_pipeline(
     use_grid = options.engine == "grid" or (
         options.engine == "auto" and scene.meta.share_extrinsic
     )
+    # non-shared scenes default to the tile engine — the at-scale BAL path
+    # (the reference drives them through the same loop, src/sfm.cc:77-131,
+    # with the non-shared wiring of src/ParameterBlock.hh:52-55)
+    use_tiles = not use_grid and (
+        options.engine == "tiles" or options.engine == "auto"
+    )
     if use_grid:
         from deeparc_tpu.pipeline.filtering import FilterStats, filter_masks_grid
         from deeparc_tpu.solver.rig_grid import grid_from_scene, solve_ba_grid
@@ -200,6 +206,94 @@ def run_pipeline(
             scene = dataclasses.replace(scene, params=result.params)
             grid, stats = run_filter()
             scene = _sync_grid_masks(scene, grid)
+            current_points = int(stats.points_alive)
+            log(f"block: {int(stats.obs_alive)}")
+            log(f"point3d: {current_points}")
+            if output_dir and options.write_snapshots:
+                _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
+            if output_dir:
+                _write_sidecar(out(f"{basename}_state.json"), step, result,
+                               stats, t_start)
+    elif use_tiles:
+        from deeparc_tpu.pipeline.filtering import (
+            FilterStats, filter_masks_tiles,
+        )
+        from deeparc_tpu.residuals.reprojection import flatten_camera
+        from deeparc_tpu.solver.tiles import (
+            solve_tiles_prepared, tiles_from_scene, unpermute_points,
+        )
+
+        free0 = freeze_masks(scene)
+        tiles, params_t, free_t, slot_src = tiles_from_scene(
+            scene, free0, with_slot_src=True)
+        v_loc = [b.loc[1].shape[1] if b.loc else None for b in tiles.buckets]
+        log(f"[deeparc] engine=tiles ({tiles.cells.cols.shape[0]} cells, "
+            f"{len(tiles.buckets)} width buckets, v_local={v_loc})")
+        cam_free_full = flatten_camera(free0)
+        cam_free_frozen = flatten_camera(
+            freeze_masks(scene, freeze_camera=True))
+        solve_cache: dict = {}
+        params_rows = params_t
+
+        def run_solve(tiles_cur, params_cur, cam_free, free_rows):
+            return solve_tiles_prepared(
+                params_cur, tiles_cur, free_rows, cam_free, options.solver,
+                unpermute=False, _cache=solve_cache,
+            )
+
+        def run_filter(tiles_cur, params_cur):
+            masks, row_mask = filter_masks_tiles(
+                params_cur.points, params_cur, tiles_cur,
+                jnp.asarray(hemi[:3], params_cur.points.dtype),
+                float(hemi[3]), options.filter,
+            )
+            new_buckets = tuple(
+                b._replace(mask=m)
+                for b, m in zip(tiles_cur.buckets, masks))
+            stats = FilterStats(
+                obs_alive=sum(jnp.sum(m) for m in masks).astype(jnp.int32),
+                points_alive=jnp.sum(row_mask).astype(jnp.int32),
+            )
+            return tiles_cur._replace(buckets=new_buckets), row_mask, stats
+
+        def sync_scene(scn, params_cur, tiles_cur, row_mask):
+            pts = unpermute_points(params_cur.points, tiles)
+            obs_mask = np.zeros(np.asarray(scn.index.obs_mask).shape)
+            for b, src in zip(tiles_cur.buckets, slot_src):
+                valid = src >= 0
+                obs_mask[src[valid]] = np.asarray(b.mask)[valid]
+            pmask = np.asarray(row_mask)[np.asarray(tiles.row_of_point)]
+            index = dataclasses.replace(
+                scn.index,
+                obs_mask=jnp.asarray(obs_mask, pts.dtype),
+                point_mask=jnp.asarray(pmask, pts.dtype),
+            )
+            new_params = dataclasses.replace(params_cur, points=pts)
+            return dataclasses.replace(scn, params=new_params, index=index)
+
+        result = run_solve(tiles, params_rows, cam_free_frozen, free_t)
+        params_rows = result.params
+        log(f"[deeparc] freeze-camera solve: cost={float(result.cost):.6e} "
+            f"iters={result.iterations}")
+        tiles_cur, row_mask, stats = run_filter(tiles, params_rows)
+        free_rows = free_t * row_mask[:, None]
+        log(f"block: {int(stats.obs_alive)}")
+        log(f"point3d: {int(stats.points_alive)}")
+        scene = sync_scene(scene, params_rows, tiles_cur, row_mask)
+
+        step = 0
+        if output_dir and options.write_snapshots:
+            _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
+        old_points, current_points = -1, int(stats.points_alive)
+        while current_points != old_points and step < options.max_filter_rounds:
+            step += 1
+            old_points = current_points
+            result = run_solve(tiles_cur, params_rows, cam_free_full,
+                               free_rows)
+            params_rows = result.params
+            tiles_cur, row_mask, stats = run_filter(tiles_cur, params_rows)
+            free_rows = free_t * row_mask[:, None]
+            scene = sync_scene(scene, params_rows, tiles_cur, row_mask)
             current_points = int(stats.points_alive)
             log(f"block: {int(stats.obs_alive)}")
             log(f"point3d: {current_points}")

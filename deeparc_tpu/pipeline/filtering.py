@@ -97,6 +97,70 @@ def filter_outliers(
     return dataclasses.replace(scene, index=index), stats
 
 
+def filter_masks_tiles(
+    points_t: jnp.ndarray,
+    params: BAParams,
+    tiles,
+    hemisphere_center: jnp.ndarray,
+    hemisphere_radius,
+    options: FilterOptions = FilterOptions(),
+):
+    """Tile-row-space filterPoint3d: returns (new mask planes, row_mask).
+
+    The ``filterPoint3d`` semantics (``src/DeepArcManager.cc:331-424``)
+    evaluated on the tile engine's bucket planes, so the solve/filter loop
+    runs at BAL scale without ever leaving the tile layout: (1) per-slot
+    MSE against ``error_boundary`` (cc:347-349, threshold direction
+    explicit), (2) rows with zero live slots die (cc:368-378), (3) the
+    hemisphere distance cut with cascade to the row's slots (cc:380-408).
+    Mask updates only — shapes never change, so repeated rounds reuse the
+    compiled step.
+    """
+    import dataclasses as _dc
+
+    from deeparc_tpu.solver.rig_grid import slot_params
+    from deeparc_tpu.solver.tiles import pack_cells, tile_mse_planes
+
+    params_rows = _dc.replace(params, points=points_t)
+    sp = slot_params(params_rows, tiles.cells)
+    cam_ones = jnp.ones(
+        6 * params.ext_rot.shape[0] + 6 * params.center.shape[0],
+        points_t.dtype)
+    packed = pack_cells(sp, tiles.cells, cam_ones)
+    mse_planes = tile_mse_planes(points_t, packed, tiles)
+
+    new_masks = []
+    live_rows = []
+    offset = 0
+    for b, mse in zip(tiles.buckets, mse_planes):
+        if options.parity_inverted:
+            bad = (mse < options.error_boundary) & (b.mask > 0.5)
+        else:
+            bad = mse > options.error_boundary
+        m = b.mask * (1.0 - bad.astype(b.mask.dtype))
+        new_masks.append(m)
+        live_rows.append(jnp.sum(m, axis=1) > 0)
+        offset += b.cell.shape[0]
+
+    tail = points_t.shape[0] - offset
+    if tail > 0:
+        live_rows.append(jnp.zeros((tail,), bool))
+    row_mask = jnp.concatenate(live_rows).astype(points_t.dtype)
+    if options.hemisphere_cut:
+        d2 = jnp.sum((points_t - hemisphere_center[None, :]) ** 2, axis=-1)
+        far = d2 > hemisphere_radius / 2.0
+        row_mask = row_mask * (1.0 - far.astype(row_mask.dtype))
+
+    # cascade: slots of dead rows die
+    out_masks = []
+    off = 0
+    for m in new_masks:
+        nb = m.shape[0]
+        out_masks.append(m * row_mask[off: off + nb, None])
+        off += nb
+    return tuple(out_masks), row_mask
+
+
 def filter_masks_grid(
     params: BAParams,
     grid,

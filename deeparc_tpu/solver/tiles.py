@@ -86,12 +86,61 @@ class CellTable(NamedTuple):
 
 
 class TileBucket(NamedTuple):
-    """Points whose (padded) track length is W, as dense (Nb, W) planes."""
+    """Points whose (padded) track length is W, as dense (Nb, W) planes.
 
-    cell: jnp.ndarray  # (Nb, W) int32 cell id per slot (0 where masked)
+    ``loc`` is the optional locality blocking: when points are clustered so
+    that each compiled chunk of B rows touches only V_local << V distinct
+    cells, every cell-space lookup and binning in the sweeps becomes a
+    SMALL (B*W, V_local) one-hot matmul against a per-chunk local table —
+    MXU-friendly tiles instead of O(V)-per-slot work — plus a tiny
+    per-chunk (V_local, .) gather/scatter against the global table. Real
+    BAL camera graphs have strong co-visibility locality; without it
+    (``loc == ()``) the engines fall back to the global-table path.
+    """
+
+    cell: jnp.ndarray  # (Nb, W) int32 GLOBAL cell id per slot (0 if masked)
     xy0: jnp.ndarray   # (Nb, W) observed pixel x
     xy1: jnp.ndarray   # (Nb, W)
     mask: jnp.ndarray  # (Nb, W) 1.0 = observed
+    loc: tuple = ()    # () or (local (Nb, W) int32 in [0, V_local),
+    #                           chunk_cells (n_chunks, V_local) int32 global
+    #                           cell id per local slot; n_chunks = Nb // B)
+
+
+def bucket_with_local(bucket: TileBucket, rows_chunk: int,
+                      v_local_max: int | None = None,
+                      min_v_local: int = 8) -> TileBucket:
+    """Attach exact per-chunk local cell tables to a bucket (host-side).
+
+    ``rows_chunk`` must be the B the step functions will use
+    (``rows_per_chunk(W, chunk_obs)``). V_local = the per-bucket max of
+    distinct cells in any chunk, rounded up to a power of two (>= 8). If
+    that exceeds ``v_local_max`` (default: half the theoretical chunk-slot
+    count — past which blocking stops paying) the bucket is returned
+    unchanged and the engines use the global table.
+    """
+    cell = np.asarray(bucket.cell)
+    Nb, W = cell.shape
+    assert Nb % rows_chunk == 0, (Nb, rows_chunk)
+    n_chunks = Nb // rows_chunk
+    uniqs = [
+        np.unique(cell[c * rows_chunk:(c + 1) * rows_chunk])
+        for c in range(n_chunks)
+    ]
+    max_u = max((u.size for u in uniqs), default=1)
+    v_local = max(min_v_local, 1 << (max_u - 1).bit_length())
+    if v_local_max is None:
+        v_local_max = max(rows_chunk * W // 2, min_v_local)
+    if v_local > v_local_max:
+        return bucket._replace(loc=())
+    local = np.zeros((Nb, W), np.int32)
+    chunk_cells = np.zeros((n_chunks, v_local), np.int32)
+    for c, u in enumerate(uniqs):
+        sl = slice(c * rows_chunk, (c + 1) * rows_chunk)
+        chunk_cells[c, : u.size] = u
+        local[sl] = np.searchsorted(u, cell[sl]).astype(np.int32)
+    return bucket._replace(loc=(
+        jnp.asarray(local), jnp.asarray(chunk_cells)))
 
 
 class CamBucket(NamedTuple):
@@ -133,6 +182,9 @@ def tiles_from_scene(
     min_width: int = 4,
     chunk_obs: int = CHUNK_OBS,
     dtype=None,
+    locality: bool = True,
+    v_local_max: int | None = None,
+    with_slot_src: bool = False,
 ):
     """Build the tile layout from any Scene (shared rig or BAL-style).
 
@@ -206,9 +258,20 @@ def tiles_from_scene(
     )
     pad_point = np.array([0.0, 0.0, 1.0])
     rank = np.full(N, -1, dtype=np.int64)
+    alive_idx = np.nonzero(obs_alive)[0]
+    slot_srcs = []           # per bucket: (Nb_pad, W) original obs id or -1
+    # locality key: mean cell id of each point's observations. Ordering
+    # bucket rows by it clusters co-visible points into the same chunks,
+    # which is what makes the per-chunk local cell tables small (real
+    # camera graphs index nearby cameras with nearby ids).
+    cell_sum = np.zeros(N)
+    np.add.at(cell_sum, pts_of_obs, cell_of_obs.astype(np.float64))
+    mean_cell = cell_sum / np.maximum(track, 1)
     offset = 0
     for W in widths:
         members = np.nonzero(width == W)[0]
+        if locality:
+            members = members[np.argsort(mean_cell[members], kind="stable")]
         Nb = members.size
         rpc = rows_per_chunk(W, chunk_obs)
         Nb_pad = -(-Nb // rpc) * rpc
@@ -227,18 +290,25 @@ def tiles_from_scene(
         xy0_b[rows, slots] = xy[src, 0]
         xy1_b[rows, slots] = xy[src, 1]
         mask_b[rows, slots] = 1.0
+        if with_slot_src:
+            src_b = np.full((Nb_pad, W), -1, dtype=np.int64)
+            src_b[rows, slots] = alive_idx[src]
+            slot_srcs.append(src_b)
 
         row_of_point[members] = offset + np.arange(Nb)
         points_rows.append(np.concatenate(
             [pts_np[members], np.tile(pad_point, (Nb_pad - Nb, 1))]))
         free_rows.append(np.concatenate(
             [pfree_np[members], np.zeros((Nb_pad - Nb, 3))]))
-        buckets.append(TileBucket(
+        bucket = TileBucket(
             cell=jnp.asarray(cell_b),
             xy0=jnp.asarray(xy0_b, dtype),
             xy1=jnp.asarray(xy1_b, dtype),
             mask=jnp.asarray(mask_b, dtype),
-        ))
+        )
+        if locality:
+            bucket = bucket_with_local(bucket, rpc, v_local_max)
+        buckets.append(bucket)
         offset += Nb_pad
 
     # zero-track points: tail slice (no observations; deltas stay zero)
@@ -262,6 +332,8 @@ def tiles_from_scene(
         row_of_point=jnp.asarray(row_of_point, jnp.int32),
     )
     params_t = dataclasses.replace(scene.params, points=points_t)
+    if with_slot_src:
+        return tiles, params_t, free_t, tuple(slot_srcs)
     return tiles, params_t, free_t
 
 
@@ -540,6 +612,21 @@ def cells_to_flat(vals: jnp.ndarray, cols: jnp.ndarray, C: int) -> jnp.ndarray:
         vals.reshape(-1))
 
 
+def _bucket_blocking(b: TileBucket, chunk_obs: int, V: int):
+    """(B rows/chunk, V_local, local-or-global cell plane, chunk tables).
+
+    With locality blocking the chunk size is fixed by the stored tables
+    (B = Nb / n_chunks); without it, by ``chunk_obs``. ``chunk_tables`` is
+    None on the global path.
+    """
+    Nb, W = b.cell.shape
+    if b.loc:
+        local, chunk_cells = b.loc
+        n_chunks = chunk_cells.shape[0]
+        return Nb // n_chunks, chunk_cells.shape[1], local, chunk_cells
+    return rows_per_chunk(W, chunk_obs), V, b.cell, None
+
+
 def flat_to_cells(v: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     """Flat (C,) -> cell-space (V, 18) (tiny gather)."""
     return v[cols]
@@ -561,6 +648,10 @@ def linearize_tiles(
     ``bin_cam=False`` skips the in-chunk one-hot camera binning (g_c /
     hcc_cells / hcc_diag are returned as zeros); impl='dual' bins them
     through the camera-major layout instead (:func:`_dual_bin_system`).
+
+    Buckets carrying locality blocking (``b.loc``) run every cell-space
+    lookup/bin against the per-chunk LOCAL table (V_local wide) and only
+    touch the global (V, .) arrays through tiny per-chunk gather/scatter.
     """
     V = packed.shape[0]
     dtype = points_t.dtype
@@ -569,19 +660,20 @@ def linearize_tiles(
     cost_total = jnp.zeros((), dtype)
     g_p_parts, hpp_parts, blocks = [], [], []
     g_cells = jnp.zeros((V, 18), dtype)
-    hcc_cells = jnp.zeros((V, 18, 18), dtype)
+    hcc_packed = jnp.zeros((V, 171), dtype)
 
     offset = 0
     for b in tiles.buckets:
         Nb, W = b.cell.shape
-        B = rows_per_chunk(W, chunk_obs)
+        B, Vl, plane, chunk_tables = _bucket_blocking(b, chunk_obs, V)
         pts_b = points_t[offset: offset + Nb]
         pf_b = point_free_t[offset: offset + Nb]
 
-        def chunk_fn(args, B=B, W=W):
-            pts, pf, cell, xy0, xy1, msk = args
-            oh = _onehot(cell.reshape(-1), V, dtype)          # (B*W, V)
-            sl = jnp.dot(oh, packed, preferred_element_type=dtype)
+        def chunk_fn(args, B=B, W=W, Vl=Vl, local=chunk_tables is not None):
+            pts, pf, cell, xy0, xy1, msk = args[:6]
+            oh = _onehot(cell.reshape(-1), Vl, dtype)         # (B*W, Vl)
+            table = packed[args[6]] if local else packed
+            sl = jnp.dot(oh, table, preferred_element_type=dtype)
             c = _unpack(sl, B, W)
             cost, r, j_x, j_cam, g_p, hpp = _linearize_chunk(
                 pts, c, xy0, xy1, msk, pf, loss, loss_scale)
@@ -598,11 +690,11 @@ def linearize_tiles(
                 oh.T, h18.reshape(B * W, 171), preferred_element_type=dtype)
             return cost, r, j_x, j_cam, g_p, hpp, gc, hc
 
-        out = jax.lax.map(
-            chunk_fn,
-            (_chunks(pts_b, B), _chunks(pf_b, B), _chunks(b.cell, B),
-             _chunks(b.xy0, B), _chunks(b.xy1, B), _chunks(b.mask, B)),
-        )
+        map_args = [_chunks(pts_b, B), _chunks(pf_b, B), _chunks(plane, B),
+                    _chunks(b.xy0, B), _chunks(b.xy1, B), _chunks(b.mask, B)]
+        if chunk_tables is not None:
+            map_args.append(chunk_tables)
+        out = jax.lax.map(chunk_fn, tuple(map_args))
         cost_c, r_c, jx_c, jcam_c, gp_c, hpp_c, gc_c, hc_c = out
         cost_total = cost_total + jnp.sum(cost_c)
         g_p_parts.append(gp_c.reshape(Nb, 3))
@@ -612,9 +704,13 @@ def linearize_tiles(
             j_x=jx_c.reshape(Nb, W, 2, 3),
             j_cam=jcam_c.reshape(Nb, W, 2, 18),
         ))
-        if bin_cam:
+        if bin_cam and chunk_tables is not None:
+            flat_ids = chunk_tables.reshape(-1)
+            g_cells = g_cells.at[flat_ids].add(gc_c.reshape(-1, 18))
+            hcc_packed = hcc_packed.at[flat_ids].add(hc_c.reshape(-1, 171))
+        elif bin_cam:
             g_cells = g_cells + jnp.sum(gc_c, axis=0)
-            hcc_cells = hcc_cells + _sym_unpack(jnp.sum(hc_c, axis=0))
+            hcc_packed = hcc_packed + jnp.sum(hc_c, axis=0)
         offset += Nb
 
     tail = points_t.shape[0] - offset
@@ -622,6 +718,7 @@ def linearize_tiles(
         g_p_parts.append(jnp.zeros((tail, 3), dtype))
         hpp_parts.append(jnp.zeros((tail, 3, 3), dtype))
 
+    hcc_cells = _sym_unpack(hcc_packed)
     return TileSystem(
         cost=cost_total,
         g_p=jnp.concatenate(g_p_parts),
@@ -649,26 +746,64 @@ def tile_cost(
     offset = 0
     for b in tiles.buckets:
         Nb, W = b.cell.shape
-        B = rows_per_chunk(W, chunk_obs)
+        B, Vl, plane, chunk_tables = _bucket_blocking(b, chunk_obs, V)
         pts_b = points_t[offset: offset + Nb]
 
-        def chunk_fn(args, B=B, W=W):
-            pts, cell, xy0, xy1, msk = args
-            oh = _onehot(cell.reshape(-1), V, dtype)
-            sl = jnp.dot(oh, packed, preferred_element_type=dtype)
+        def chunk_fn(args, B=B, W=W, Vl=Vl, local=chunk_tables is not None):
+            pts, cell, xy0, xy1, msk = args[:5]
+            oh = _onehot(cell.reshape(-1), Vl, dtype)
+            table = packed[args[5]] if local else packed
+            sl = jnp.dot(oh, table, preferred_element_type=dtype)
             c = _unpack(sl, B, W)
             pc = _project_chunk(pts, c, xy0, xy1, msk)
             s = jnp.sum(pc["r"] * pc["r"], axis=-1)
             return 0.5 * jnp.sum(loss_rho(s, loss, loss_scale) * msk)
 
-        costs = jax.lax.map(
-            chunk_fn,
-            (_chunks(pts_b, B), _chunks(b.cell, B),
-             _chunks(b.xy0, B), _chunks(b.xy1, B), _chunks(b.mask, B)),
-        )
+        map_args = [_chunks(pts_b, B), _chunks(plane, B),
+                    _chunks(b.xy0, B), _chunks(b.xy1, B), _chunks(b.mask, B)]
+        if chunk_tables is not None:
+            map_args.append(chunk_tables)
+        costs = jax.lax.map(chunk_fn, tuple(map_args))
         total = total + jnp.sum(costs)
         offset += Nb
     return total
+
+
+def tile_mse_planes(
+    points_t: jnp.ndarray,
+    packed: jnp.ndarray,
+    tiles: TileIndex,
+    chunk_obs: int = CHUNK_OBS,
+) -> tuple:
+    """Per-slot MSE planes ((r0^2 + r1^2) / 2, one (Nb, W) array per
+    bucket) — the re-evaluation pass of ``filterPoint3d``
+    (``src/DeepArcManager.cc:332-346``) in tile row space."""
+    V = packed.shape[0]
+    dtype = points_t.dtype
+    planes = []
+    offset = 0
+    for b in tiles.buckets:
+        Nb, W = b.cell.shape
+        B, Vl, plane, chunk_tables = _bucket_blocking(b, chunk_obs, V)
+        pts_b = points_t[offset: offset + Nb]
+
+        def chunk_fn(args, B=B, W=W, Vl=Vl, local=chunk_tables is not None):
+            pts, cell, xy0, xy1, msk = args[:5]
+            oh = _onehot(cell.reshape(-1), Vl, dtype)
+            table = packed[args[5]] if local else packed
+            sl = jnp.dot(oh, table, preferred_element_type=dtype)
+            c = _unpack(sl, B, W)
+            pc = _project_chunk(pts, c, xy0, xy1, msk)
+            return 0.5 * jnp.sum(pc["r"] * pc["r"], axis=-1)
+
+        map_args = [_chunks(pts_b, B), _chunks(plane, B),
+                    _chunks(b.xy0, B), _chunks(b.xy1, B), _chunks(b.mask, B)]
+        if chunk_tables is not None:
+            map_args.append(chunk_tables)
+        mse = jax.lax.map(chunk_fn, tuple(map_args))
+        planes.append(mse.reshape(Nb, W))
+        offset += Nb
+    return tuple(planes)
 
 
 def _e_sweep(
@@ -691,18 +826,19 @@ def _e_sweep(
     offset = 0
     for b, blk in zip(tiles.buckets, sys.blocks):
         Nb, W = b.cell.shape
-        B = rows_per_chunk(W, chunk_obs)
+        B, Vl, plane, chunk_tables = _bucket_blocking(b, chunk_obs, V)
         binv_b = binv[offset: offset + Nb]
         gp_b = sys.g_p[offset: offset + Nb]
 
-        def chunk_fn(args, B=B, W=W):
-            cell, j_x, j_cam, binv_c, gp_c = args
-            oh = _onehot(cell.reshape(-1), V, dtype)
+        def chunk_fn(args, B=B, W=W, Vl=Vl, local=chunk_tables is not None):
+            cell, j_x, j_cam, binv_c, gp_c = args[:5]
+            oh = _onehot(cell.reshape(-1), Vl, dtype)
             if rhs_mode:
                 w = jnp.einsum("bij,bj->bi", binv_c, gp_c)
             else:
+                v_table = v_cells[args[5]] if local else v_cells
                 vslot = jnp.dot(
-                    oh, v_cells, preferred_element_type=dtype
+                    oh, v_table, preferred_element_type=dtype
                 ).reshape(B, W, 18)
                 t = jnp.einsum("bwkc,bwc->bwk", j_cam, vslot)
                 ev = jnp.einsum("bwki,bwk->bi", j_x, t)
@@ -712,12 +848,16 @@ def _e_sweep(
             return jnp.dot(oh.T, u.reshape(B * W, 18),
                            preferred_element_type=dtype)
 
-        parts = jax.lax.map(
-            chunk_fn,
-            (_chunks(b.cell, B), _chunks(blk.j_x, B), _chunks(blk.j_cam, B),
-             _chunks(binv_b, B), _chunks(gp_b, B)),
-        )
-        out = out + jnp.sum(parts, axis=0)
+        map_args = [_chunks(plane, B), _chunks(blk.j_x, B),
+                    _chunks(blk.j_cam, B), _chunks(binv_b, B),
+                    _chunks(gp_b, B)]
+        if chunk_tables is not None:
+            map_args.append(chunk_tables)
+        parts = jax.lax.map(chunk_fn, tuple(map_args))
+        if chunk_tables is not None:
+            out = out.at[chunk_tables.reshape(-1)].add(parts.reshape(-1, 18))
+        else:
+            out = out + jnp.sum(parts, axis=0)
         offset += Nb
     return out
 
@@ -735,21 +875,23 @@ def _e_dot_cells(
     used = 0
     for b, blk in zip(tiles.buckets, sys.blocks):
         Nb, W = b.cell.shape
-        B = rows_per_chunk(W, chunk_obs)
+        B, Vl, plane, chunk_tables = _bucket_blocking(b, chunk_obs, V)
 
-        def chunk_fn(args, B=B, W=W):
-            cell, j_x, j_cam = args
-            oh = _onehot(cell.reshape(-1), V, dtype)
+        def chunk_fn(args, B=B, W=W, Vl=Vl, local=chunk_tables is not None):
+            cell, j_x, j_cam = args[:3]
+            oh = _onehot(cell.reshape(-1), Vl, dtype)
+            v_table = v_cells[args[3]] if local else v_cells
             vslot = jnp.dot(
-                oh, v_cells, preferred_element_type=dtype
+                oh, v_table, preferred_element_type=dtype
             ).reshape(B, W, 18)
             t = jnp.einsum("bwkc,bwc->bwk", j_cam, vslot)
             return jnp.einsum("bwki,bwk->bi", j_x, t)
 
-        ev = jax.lax.map(
-            chunk_fn,
-            (_chunks(b.cell, B), _chunks(blk.j_x, B), _chunks(blk.j_cam, B)),
-        )
+        map_args = [_chunks(plane, B), _chunks(blk.j_x, B),
+                    _chunks(blk.j_cam, B)]
+        if chunk_tables is not None:
+            map_args.append(chunk_tables)
+        ev = jax.lax.map(chunk_fn, tuple(map_args))
         parts.append(ev.reshape(Nb, 3))
         used += Nb
     tail = sys.g_p.shape[0] - used
@@ -1220,10 +1362,50 @@ def solve_ba_tiles(
     resume: bool = False,
     logger=None,
     while_block: int = 10,
+    locality: bool = True,
 ):
     """LM to convergence on the tile engine, from a Scene.
 
     Returns a solver.ba.BAResult with points back in original order.
+    Thin wrapper: builds the tile layout then delegates to
+    :func:`solve_tiles_prepared`.
+    """
+    from deeparc_tpu.residuals.reprojection import flatten_camera
+
+    tiles, params_t, free_t = tiles_from_scene(
+        scene, free, min_width=min_width, chunk_obs=chunk_obs,
+        locality=locality)
+    return solve_tiles_prepared(
+        params_t, tiles, free_t, flatten_camera(free), options,
+        driver=driver, chunk_obs=chunk_obs, impl=impl,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        resume=resume, logger=logger, while_block=while_block,
+    )
+
+
+def solve_tiles_prepared(
+    params_t: BAParams,
+    tiles: TileIndex,
+    free_t,
+    cam_free,
+    options: SolverOptions = SolverOptions(),
+    driver: str = "python",
+    chunk_obs: int = CHUNK_OBS,
+    impl: str = "xla",
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+    logger=None,
+    while_block: int = 10,
+    unpermute: bool = True,
+    _cache: dict | None = None,
+):
+    """LM to convergence on a PREPARED tile layout (row-space inputs).
+
+    The pipeline's solve/filter loop calls this once per round with updated
+    mask planes / freeze rows but identical shapes; passing the same
+    ``_cache`` dict across rounds reuses the jitted step (zero recompiles
+    after round one). ``unpermute=False`` returns points in row space.
 
     Operational features match the grid/indexed drivers (solve_ba_grid,
     solver/ba.py): wall-clock cap (``src/sfm.cc:71``), Ceres-style progress
@@ -1239,12 +1421,13 @@ def solve_ba_tiles(
     )
     from deeparc_tpu.solver.ba import BAResult
 
-    tiles, params_t, free_t = tiles_from_scene(
-        scene, free, min_width=min_width, chunk_obs=chunk_obs)
     if impl == "dual":
         tiles = with_cam_layout(tiles)
-    cam_free = flatten_camera(free)
-    step = make_tile_step(options, params_t, chunk_obs, impl=impl)
+    cache = _cache if _cache is not None else {}
+    if "step" not in cache:
+        cache["step"] = make_tile_step(options, params_t, chunk_obs,
+                                       impl=impl)
+    step = cache["step"]
     state = init_tile_state(params_t, tiles, options, cam_free,
                             chunk_obs=chunk_obs)
     start_iter = 0
@@ -1282,8 +1465,8 @@ def solve_ba_tiles(
 
     def finish(st, k):
         out = unflatten_camera(st.cam_vec, params_t)
-        out = dataclasses.replace(
-            out, points=unpermute_points(st.points, tiles))
+        pts = unpermute_points(st.points, tiles) if unpermute else st.points
+        out = dataclasses.replace(out, points=pts)
         return BAResult(
             params=out, cost=float(st.cost),
             iterations=int(k), status=int(st.status),
@@ -1301,13 +1484,15 @@ def solve_ba_tiles(
         )
 
     if driver == "while_loop":
-        jit_block = jax.jit(
-            lambda s, t, cf, pf, k_stop: jax.lax.while_loop(
-                lambda st: (st.status == 0) & (st.k < k_stop),
-                lambda st: step(st, t, cf, pf)[0],
-                s,
+        if "jit_block" not in cache:
+            cache["jit_block"] = jax.jit(
+                lambda s, t, cf, pf, k_stop: jax.lax.while_loop(
+                    lambda st: (st.status == 0) & (st.k < k_stop),
+                    lambda st: step(st, t, cf, pf)[0],
+                    s,
+                )
             )
-        )
+        jit_block = cache["jit_block"]
         t0 = _time.time()
         k = start_iter
         while int(state.status) == 0 and k < options.max_iterations:
@@ -1321,7 +1506,9 @@ def solve_ba_tiles(
                 _save(state, k)
         return finish(state, k)
 
-    jit_step = jax.jit(step)
+    if "jit_step" not in cache:
+        cache["jit_step"] = jax.jit(step)
+    jit_step = cache["jit_step"]
     t0 = _time.time()
     k = start_iter
     while int(state.status) == 0 and k < options.max_iterations:

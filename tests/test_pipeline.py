@@ -237,3 +237,100 @@ def test_random_point_init_recovers_structure():
     # minima out of 60
     import numpy as np
     assert a.cost <= b.cost * 1.05, (a.cost, b.cost)
+
+
+def test_bal_scene_pipeline_uses_tiles(tmp_path, capsys):
+    """Non-shared scenes route to the tile engine under engine='auto' and
+    the full solve/filter pipeline runs end to end (VERDICT r2 task 2)."""
+    import dataclasses as dc
+
+    from deeparc_tpu.config import (
+        FilterOptions, PipelineOptions, SolverOptions,
+    )
+    from deeparc_tpu.io.deeparc_format import read_deeparc
+    from deeparc_tpu.io.synthetic import make_bal_synthetic
+    from deeparc_tpu.pipeline.driver import run_pipeline
+
+    rig = make_bal_synthetic(
+        n_cameras=10, n_points=150, track_length=5.0,
+        pixel_noise=0.5, point_noise=0.05, seed=7,
+    )
+    opts = PipelineOptions(
+        solver=SolverOptions(
+            linear_solver="iterative_schur", max_iterations=8,
+            cg_max_iterations=40, progress_to_stdout=False,
+        ),
+        filter=FilterOptions(error_boundary=5.0, hemisphere_cut=True),
+        max_filter_rounds=3,
+    )
+    out_dir = str(tmp_path / "bal_out")
+    result = run_pipeline(rig.data, opts, output_dir=out_dir,
+                          basename="bal", verbose=True)
+    captured = capsys.readouterr().out
+    assert "engine=tiles" in captured
+    assert result.final_rmse_px < 2.0   # 0.5 px/axis noise floor ~ 0.7
+    # the written .deeparc is loadable and consistent
+    back = read_deeparc(out_dir + "/bal_output.deeparc")
+    assert back.obs_point.shape[0] > 0
+    assert not back.share_extrinsic
+
+    # the indexed engine agrees on the same problem
+    res_idx = run_pipeline(
+        rig.data, dc.replace(opts, engine="indexed"), verbose=False)
+    assert abs(result.final_rmse_px - res_idx.final_rmse_px) < 0.2
+
+
+def test_bal_file_cli_roundtrip(tmp_path):
+    """A real .bal FILE through the CLI exercises read_bal -> tiles engine
+    -> refined output (the config-5 entry path, cli.py)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    n_cam, n_pts, track = 6, 80, 4
+    rho, f = 4.0, 500.0
+    # BAL convention: P = R X + t, p = -P / P.z (cameras look down -z)
+    rots = 0.05 * rng.normal(size=(n_cam, 3))
+    ts = np.stack([
+        0.3 * rng.normal(size=n_cam), 0.3 * rng.normal(size=n_cam),
+        -rho + 0.2 * rng.normal(size=n_cam)], axis=1)
+    X = 0.5 * rng.normal(size=(n_pts, 3))
+
+    def aa_rot(aa, x):
+        th = np.linalg.norm(aa)
+        if th < 1e-12:
+            return x
+        w = aa / th
+        return (x * np.cos(th) + np.cross(w, x) * np.sin(th)
+                + w * (w @ x) * (1 - np.cos(th)))
+
+    lines = []
+    obs = []
+    for i in range(n_pts):
+        cams = rng.choice(n_cam, size=track, replace=False)
+        for c in cams:
+            P = aa_rot(rots[c], X[i]) + ts[c]
+            p = -P[:2] / P[2]
+            uv = f * p + 0.3 * rng.normal(size=2)
+            obs.append((c, i, uv[0], uv[1]))
+    lines.append(f"{n_cam} {n_pts} {len(obs)}")
+    lines += [f"{c} {i} {u:.6f} {v:.6f}" for c, i, u, v in obs]
+    for c in range(n_cam):
+        for val in (*rots[c], *ts[c], f, 0.0, 0.0):
+            lines.append(f"{val:.12f}")
+    noisy = X + 0.02 * rng.normal(size=X.shape)
+    for i in range(n_pts):
+        for val in noisy[i]:
+            lines.append(f"{val:.12f}")
+    bal_path = tmp_path / "toy.bal"
+    bal_path.write_text("\n".join(lines) + "\n")
+
+    from deeparc_tpu.pipeline.cli import main
+
+    out_dir = str(tmp_path / "out")
+    rc = main([str(bal_path), "-o", out_dir, "--max-iterations", "6",
+               "--linear-solver", "iterative_schur", "--no-snapshots",
+               "--quiet"])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(out_dir + "/toy_output.deeparc")

@@ -168,3 +168,75 @@ def test_tile_sharded_matches_single(problem, n_dev):
     np.testing.assert_allclose(
         np.asarray(sharded.params.ext_rot), np.asarray(single.params.ext_rot),
         rtol=1e-8, atol=1e-12)
+
+
+def test_locality_blocking_matches_global(problem):
+    """Local-table (TileBucket.loc) sweeps == global-table sweeps exactly
+    (the blocking only reorders which MXU tiles do the lookups)."""
+    scene, free = problem
+    opts = SolverOptions(
+        linear_solver="iterative_schur", cg_max_iterations=40,
+        max_iterations=3,
+    )
+    loc = solve_ba_tiles(scene, free, opts, chunk_obs=CHUNK)
+    # strip loc + locality ordering: the global path
+    from deeparc_tpu.parallel.sharded_ba import make_mesh  # noqa: F401
+
+    import deeparc_tpu.solver.tiles as tiles_mod
+
+    tiles, params_t, free_t = tiles_from_scene(
+        scene, free, chunk_obs=CHUNK, locality=False)
+    assert all(not b.loc for b in tiles.buckets)
+    cam_free = flatten_camera(free)
+    step = tiles_mod.make_tile_step(opts, params_t, CHUNK)
+    state = init_tile_state(params_t, tiles, opts, cam_free, chunk_obs=CHUNK)
+    import jax
+
+    jit_step = jax.jit(step)
+    for _ in range(3):
+        state, _ = jit_step(state, tiles, cam_free, free_t)
+    np.testing.assert_allclose(float(state.cost), float(loc.cost), rtol=1e-8)
+
+
+def test_windowed_bal_generator_loc():
+    """make_bal_tile_device(window=...) carries exact loc tables and the
+    local-path step matches the loc-stripped global-path step."""
+    import jax
+
+    from deeparc_tpu.io.synthetic import make_bal_tile_device
+
+    params, tiles, gt, cam_free = make_bal_tile_device(
+        n_cameras=24, n_points=200, track_length=4, window=8,
+        chunk_obs=CHUNK, dtype=jnp.float64,
+    )
+    b = tiles.buckets[0]
+    assert b.loc, "windowed generator must attach loc tables"
+    local, chunk_cells = b.loc
+    # loc tables are consistent with the global cell plane
+    rpc = b.cell.shape[0] // chunk_cells.shape[0]
+    cells_np = np.asarray(b.cell)
+    local_np = np.asarray(local)
+    cc_np = np.asarray(chunk_cells)
+    for c in range(cc_np.shape[0]):
+        sl = slice(c * rpc, (c + 1) * rpc)
+        np.testing.assert_array_equal(cc_np[c][local_np[sl]], cells_np[sl])
+
+    opts = SolverOptions(
+        linear_solver="iterative_schur", cg_max_iterations=30,
+        max_iterations=2, min_relative_decrease=-1.0,
+    )
+    n_ext = params.ext_rot.shape[0]
+    cam_free = cam_free.at[:6].set(0.0)
+    cam_free = cam_free.at[6 * n_ext:].set(0.0)
+    point_free = jnp.ones_like(params.points)
+
+    step = make_tile_step(opts, params, CHUNK)
+    st = init_tile_state(params, tiles, opts, cam_free, chunk_obs=CHUNK)
+    st, _ = jax.jit(step)(st, tiles, cam_free, point_free)
+
+    tiles_g = tiles._replace(buckets=(b._replace(loc=()),))
+    st_g = init_tile_state(params, tiles_g, opts, cam_free, chunk_obs=CHUNK)
+    st_g, _ = jax.jit(step)(st_g, tiles_g, cam_free, point_free)
+    np.testing.assert_allclose(float(st.cost), float(st_g.cost), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(st.points), np.asarray(st_g.points), rtol=1e-8, atol=1e-12)
