@@ -118,6 +118,129 @@ def _sweep_kernel(cell_ref, jcam_ref, jx_ref, binv_ref, gp_ref, v_ref,
         out_ref[:] += acc_cells
 
 
+def _sweep_local_kernel(cell_ref, jcam_ref, jx_ref, binv_ref, gp_ref, v_ref,
+                        out_ref, ev_ref, *, mode, W, Vl, bpc):
+    """Locality-blocked tile: the one-hot spans only the chunk's V_LOCAL
+    cell list (TileBucket.loc), so the per-slot MXU work drops by V/V_local
+    versus the global kernel. ``v_ref`` is this chunk's pre-gathered local
+    v table (18, Vl); ``out_ref`` the chunk's local bins (Vl, 18),
+    accumulated over the bpc lane-blocks of the chunk."""
+    dtype = jcam_ref.dtype
+    block = cell_ref.shape[1]
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (Vl, block), 0)
+
+    def onehot(w):
+        return (iota_v == cell_ref[w:w + 1, :]).astype(dtype)   # (Vl, block)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=dtype)
+
+    def jcam_slab(w, k):
+        base = w * 36 + k * 18
+        return jcam_ref[base: base + 18, :]
+
+    def jx_slab(w, k):
+        base = w * 6 + k * 3
+        return jx_ref[base: base + 3, :]
+
+    if mode in ("matvec", "edot"):
+        ev = jnp.zeros((3, block), dtype)
+        for w in range(W):
+            oh = onehot(w)
+            vslot = dot(v_ref[0], oh)                   # (18, block)
+            for k in range(2):
+                t_k = jnp.sum(jcam_slab(w, k) * vslot, axis=0, keepdims=True)
+                ev += jx_slab(w, k) * t_k
+        if mode == "edot":
+            ev_ref[:] = ev
+            return
+        rhs_rows = ev
+    else:
+        rhs_rows = gp_ref[:]
+
+    wv = jnp.concatenate(
+        [jnp.sum(binv_ref[3 * i: 3 * i + 3, :] * rhs_rows, axis=0,
+                 keepdims=True) for i in range(3)], axis=0)
+
+    acc = jnp.zeros((Vl, 18), dtype)
+    for w in range(W):
+        oh = onehot(w)
+        u = jnp.zeros((18, block), dtype)
+        for k in range(2):
+            t2_k = jnp.sum(jx_slab(w, k) * wv, axis=0, keepdims=True)
+            u += jcam_slab(w, k) * t2_k
+        acc += dot(oh, u.T)
+
+    @pl.when(pl.program_id(0) % bpc == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(pl.program_id(0) % bpc != 0)
+    def _():
+        out_ref[0] += acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "block_n", "interpret"),
+)
+def tile_sweep_local(cell_t, jcam_t, jx_t, binv_t, gp_t, v_locals,
+                     mode="matvec", block_n=256, interpret=False):
+    """Fused sweep over a locality-blocked bucket.
+
+    ``cell_t`` carries LOCAL ids (W, Nb); ``v_locals`` the per-chunk local
+    v tables (n_chunks, 18, V_local) — ``v_cells[chunk_cells]`` transposed,
+    gathered outside (tiny). Returns per-chunk local bins
+    (n_chunks, V_local, 18) for rhs/matvec (caller scatters into the global
+    (V, 18)), or (Nb, 3) E v rows for edot.
+    """
+    W, Nb = cell_t.shape
+    n_chunks, _, Vl = v_locals.shape
+    assert Nb % n_chunks == 0
+    B = Nb // n_chunks
+    dtype = jcam_t.dtype
+    block_n = min(block_n, B)
+    assert B % block_n == 0, (B, block_n)
+    bpc = B // block_n
+    n_tiles = Nb // block_n
+
+    kernel = functools.partial(_sweep_local_kernel, mode=mode, W=W, Vl=Vl,
+                               bpc=bpc)
+    tile_cols = lambda rows: pl.BlockSpec(
+        (rows, block_n), lambda i: (0, i), memory_space=pltpu.VMEM)
+    per_chunk = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i // bpc, 0, 0), memory_space=pltpu.VMEM)
+
+    out_cells, ev = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            tile_cols(W),          # cell (local ids)
+            tile_cols(36 * W),     # jcam
+            tile_cols(6 * W),      # jx
+            tile_cols(9),          # binv
+            tile_cols(3),          # gp
+            per_chunk((18, Vl)),   # v_locals
+        ],
+        out_specs=[
+            per_chunk((Vl, 18)),
+            tile_cols(3),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, Vl, 18), dtype),
+            jax.ShapeDtypeStruct((3, Nb), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cell_t, jcam_t, jx_t, binv_t, gp_t, v_locals)
+
+    if mode == "edot":
+        return ev.T
+    return out_cells
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "block_n", "interpret"),

@@ -112,6 +112,21 @@ def pad_rows_to_mesh(n_rows: int, mesh: Mesh) -> int:
     return -(-n_rows // n_dev) * n_dev
 
 
+def gather_global(arr) -> np.ndarray:
+    """Host-side copy of a (possibly multi-process) sharded array.
+
+    Single-process (and the virtual CPU mesh): a plain transfer. Real
+    multi-host: every process all-gathers its addressable shards over the
+    interconnect first — the pattern checkpointing needs when no host owns
+    the whole array.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
+
+
 def solve_ba_grid_multihost(
     params,
     grid,
@@ -120,77 +135,28 @@ def solve_ba_grid_multihost(
     mesh: Mesh | None = None,
     chunk_size: int = 8192,
     impl: str = "planes",
+    while_block: int = 10,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
+    logger=None,
 ):
     """Grid-engine LM solve SPMD over a (hosts, chips) mesh.
 
-    Identical math to ``sharded_grid.solve_ba_grid_sharded`` — the step's
-    cross-point reductions psum over the ("host", "chip") axis PAIR, so the
-    camera system reduces over ICI within a host and DCN across hosts.
+    Identical math to ``sharded_grid.solve_ba_grid_sharded`` (to which this
+    delegates) — the step's cross-point reductions psum over the
+    ("host", "chip") axis PAIR, so the camera system reduces over ICI
+    within a host and DCN across hosts. Inherits the blocked driver's
+    operational guarantees: ``options.max_seconds`` (``src/sfm.cc:71``),
+    per-block checkpointing (process 0 writes), per-block logging.
     """
-    from jax import shard_map
-
     from deeparc_tpu.config import SolverOptions
-    from deeparc_tpu.parallel.sharded_grid import shard_grid_rows
-    from deeparc_tpu.residuals.reprojection import flatten_camera
-    from deeparc_tpu.solver.ba import BAResult
-    from deeparc_tpu.solver.rig_grid import (
-        GridIndex, _params_from, init_grid_state, make_grid_step,
-    )
+    from deeparc_tpu.parallel.sharded_grid import solve_ba_grid_sharded
 
     options = options or SolverOptions()
     if mesh is None:
         mesh = make_host_mesh()
-    n_shards = int(mesh.devices.size)
-    axes = data_axes()
-
-    cam_free = flatten_camera(free)
-    params_p, grid_p, point_free_p, N = shard_grid_rows(
-        params, grid, free.points, n_shards)
-
-    step = make_grid_step(options, params_p, chunk_size, impl=impl,
-                          axis=axes)
-
-    sharded_fields = {"xy0", "xy1", "mask", "point_mask"}
-
-    def spmd(points, xy0, xy1, mask, point_mask, point_free, cam_tables,
-             cam_free):
-        g = GridIndex(xy0=xy0, xy1=xy1, mask=mask, point_mask=point_mask,
-                      **{f: getattr(cam_tables["grid"], f)
-                         for f in GridIndex._fields
-                         if f not in sharded_fields})
-        p = dataclasses.replace(cam_tables["params"], points=points)
-        state = init_grid_state(p, g, options, axis=axes, impl=impl)
-        final = jax.lax.while_loop(
-            lambda st: (st.status == 0) & (st.k < options.max_iterations),
-            lambda st: step(st, g, cam_free, point_free)[0],
-            state,
-        )
-        return (final.points, final.cam_vec, final.cost, final.k,
-                final.status)
-
-    import jax.numpy as jnp
-
-    rep_grid = grid_p._replace(
-        xy0=jnp.zeros((0,) + grid_p.xy0.shape[1:], grid_p.xy0.dtype),
-        xy1=jnp.zeros((0,) + grid_p.xy1.shape[1:], grid_p.xy1.dtype),
-        mask=jnp.zeros((0,) + grid_p.mask.shape[1:], grid_p.mask.dtype),
-        point_mask=jnp.zeros((0,), grid_p.point_mask.dtype),
-    )
-    cam_tables = {"grid": rep_grid, "params": params_p}
-
-    fn = shard_map(
-        spmd,
-        mesh=mesh,
-        in_specs=(P(axes), P(axes), P(axes), P(axes), P(axes), P(axes),
-                  jax.tree.map(lambda _: P(), cam_tables), P()),
-        out_specs=(P(axes), P(), P(), P(), P()),
-    )
-    points_f, cam_f, cost_f, k_f, status_f = jax.jit(fn)(
-        params_p.points, grid_p.xy0, grid_p.xy1, grid_p.mask,
-        grid_p.point_mask, point_free_p, cam_tables, cam_free,
-    )
-    out_params = _params_from(cam_f, points_f[:N], params)
-    return BAResult(
-        params=out_params, cost=float(cost_f),
-        iterations=int(k_f), status=int(status_f),
+    return solve_ba_grid_sharded(
+        params, grid, free, options, mesh=mesh, axis=data_axes(),
+        chunk_size=chunk_size, impl=impl, while_block=while_block,
+        checkpoint_path=checkpoint_path, resume=resume, logger=logger,
     )

@@ -86,11 +86,28 @@ def solve_ba_grid_sharded(
     axis: str = "data",
     chunk_size: int = 8192,
     impl: str = "planes",
+    while_block: int = 10,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
+    logger=None,
 ):
     """Full LM solve SPMD over the mesh's ``axis``. Returns a BAResult whose
-    params are gathered back to host-global shapes (padding dropped)."""
+    params are gathered back to host-global shapes (padding dropped).
+
+    Operational parity with the single-host drivers (``solve_ba_grid``'s
+    blocked mode): iterations run in ``while_block``-sized on-device
+    ``lax.while_loop`` blocks; between blocks the host enforces the
+    wall-clock cap ``options.max_seconds`` (reference: ``src/sfm.cc:71``),
+    saves a solver-state checkpoint (``resume=True`` restarts from it), and
+    emits a per-block JSONL log record — exactly the guarantees a
+    multi-hour multi-host solve needs. The LM state stays sharded/replicated
+    on device across blocks; only tiny replicated scalars hit the host.
+    """
+    import time as _time
+
     from deeparc_tpu.parallel.sharded_ba import make_mesh
     from deeparc_tpu.residuals.reprojection import flatten_camera
+    from deeparc_tpu.solver import trust_region as tr_mod
     from deeparc_tpu.solver.ba import BAResult
     from deeparc_tpu.solver.rig_grid import _params_from
 
@@ -108,21 +125,25 @@ def solve_ba_grid_sharded(
     # point-major leaves shard over the axis; slot tables replicate
     sharded_fields = {"xy0", "xy1", "mask", "point_mask"}
 
-    def spmd(points, xy0, xy1, mask, point_mask, point_free, cam_tables,
-             cam_free):
-        g = GridIndex(xy0=xy0, xy1=xy1, mask=mask, point_mask=point_mask,
-                      **{f: getattr(cam_tables["grid"], f)
-                         for f in GridIndex._fields
-                         if f not in sharded_fields})
+    def local_grid(xy0, xy1, mask, point_mask, cam_tables):
+        return GridIndex(xy0=xy0, xy1=xy1, mask=mask, point_mask=point_mask,
+                         **{f: getattr(cam_tables["grid"], f)
+                            for f in GridIndex._fields
+                            if f not in sharded_fields})
+
+    def spmd_init(points, xy0, xy1, mask, point_mask, cam_tables):
+        g = local_grid(xy0, xy1, mask, point_mask, cam_tables)
         p = dataclasses.replace(cam_tables["params"], points=points)
-        state = init_grid_state(p, g, options, axis=axis, impl=impl)
-        final = jax.lax.while_loop(
-            lambda st: (st.status == 0) & (st.k < options.max_iterations),
+        return init_grid_state(p, g, options, axis=axis, impl=impl)
+
+    def spmd_block(state, xy0, xy1, mask, point_mask, point_free,
+                   cam_tables, cam_free, k_stop):
+        g = local_grid(xy0, xy1, mask, point_mask, cam_tables)
+        return jax.lax.while_loop(
+            lambda st: (st.status == 0) & (st.k < k_stop),
             lambda st: step(st, g, cam_free, point_free)[0],
             state,
         )
-        return (final.points, final.cam_vec, final.cost, final.k,
-                final.status)
 
     rep_grid = grid_p._replace(
         xy0=jnp.zeros((0,) + grid_p.xy0.shape[1:], grid_p.xy0.dtype),
@@ -132,19 +153,78 @@ def solve_ba_grid_sharded(
     )
     cam_tables = {"grid": rep_grid, "params": params_p}
 
-    fn = shard_map(
-        spmd,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  jax.tree.map(lambda _: P(), cam_tables), P()),
-        out_specs=(P(axis), P(), P(), P(), P()),
+    state_spec = GridState(
+        points=P(axis), cam_vec=P(), cost=P(),
+        tr=tr_mod.TRState(radius=P(), decrease_factor=P()),
+        k=P(), status=P(),
     )
-    points_f, cam_f, cost_f, k_f, status_f = jax.jit(fn)(
-        params_p.points, grid_p.xy0, grid_p.xy1, grid_p.mask,
-        grid_p.point_mask, point_free_p, cam_tables, cam_free,
-    )
-    out_params = _params_from(cam_f, points_f[:N], params)
+    rep = jax.tree.map(lambda _: P(), cam_tables)
+    init_fn = jax.jit(shard_map(
+        spmd_init, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), rep),
+        out_specs=state_spec,
+    ))
+    block_fn = jax.jit(shard_map(
+        spmd_block, mesh=mesh,
+        in_specs=(state_spec, P(axis), P(axis), P(axis), P(axis), P(axis),
+                  rep, P(), P()),
+        out_specs=state_spec,
+    ))
+
+    state = init_fn(params_p.points, grid_p.xy0, grid_p.xy1, grid_p.mask,
+                    grid_p.point_mask, cam_tables)
+    if resume and checkpoint_path:
+        import os as _os
+
+        if _os.path.exists(checkpoint_path):
+            from deeparc_tpu.utils.checkpoint import load_solver_state
+
+            ck_params, scal = load_solver_state(
+                checkpoint_path, dtype=params.points.dtype)
+            ck_p, ck_g, _, _ = shard_grid_rows(
+                ck_params, grid, free.points, n_shards)
+            st0 = init_fn(ck_p.points, ck_g.xy0, ck_g.xy1, ck_g.mask,
+                          ck_g.point_mask,
+                          {"grid": rep_grid, "params": ck_p})
+            state = st0._replace(
+                tr=tr_mod.TRState(
+                    radius=jnp.asarray(scal["radius"], params.points.dtype),
+                    decrease_factor=jnp.asarray(
+                        scal["decrease_factor"], params.points.dtype)),
+                k=jnp.asarray(scal["iteration"]),
+            )
+
+    def _save(st, k):
+        from deeparc_tpu.parallel.multihost import gather_global
+        from deeparc_tpu.utils.checkpoint import save_solver_state
+
+        pts = jnp.asarray(gather_global(st.points)[:N])
+        if jax.process_index() == 0:
+            save_solver_state(
+                checkpoint_path, _params_from(st.cam_vec, pts, params),
+                float(st.tr.radius), float(st.tr.decrease_factor),
+                k, float(st.cost),
+            )
+
+    t0 = _time.time()
+    k = int(state.k)
+    while int(state.status) == 0 and k < options.max_iterations:
+        if _time.time() - t0 > options.max_seconds:
+            break
+        k_stop = min(k + while_block, options.max_iterations)
+        state = block_fn(state, grid_p.xy0, grid_p.xy1, grid_p.mask,
+                         grid_p.point_mask, point_free_p, cam_tables,
+                         cam_free, jnp.asarray(k_stop))
+        k = int(state.k)
+        if logger is not None:
+            logger.log("lm_block", iter=k, cost=float(state.cost),
+                       radius=float(state.tr.radius),
+                       status=int(state.status))
+        if checkpoint_path:
+            _save(state, k)
+
+    out_params = _params_from(state.cam_vec, state.points[:N], params)
     return BAResult(
-        params=out_params, cost=float(cost_f),
-        iterations=int(k_f), status=int(status_f),
+        params=out_params, cost=float(state.cost),
+        iterations=int(state.k), status=int(state.status),
     )

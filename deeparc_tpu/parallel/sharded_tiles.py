@@ -138,6 +138,10 @@ def solve_ba_tiles_sharded(
     mesh: Mesh | None = None,
     axis=None,
     chunk_obs: int = CHUNK_OBS,
+    while_block: int = 10,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
+    logger=None,
 ):
     """Full tile-engine LM solve SPMD over the mesh.
 
@@ -145,10 +149,23 @@ def solve_ba_tiles_sharded(
     Inputs are the ROW-SPACE arrays from tiles_from_scene /
     make_tile_rig_device; bucket rows must split evenly over the mesh (use
     :func:`shard_tile_rows`). Returns a BAResult in row space (caller
-    unpermutes)."""
+    unpermutes).
+
+    Operational parity with the single-host drivers: ``while_block``-sized
+    on-device ``lax.while_loop`` blocks with the wall-clock cap
+    ``options.max_seconds`` (``src/sfm.cc:71``), per-block checkpointing
+    (row-space ``.npz``; ``resume=True`` restarts from it), and per-block
+    JSONL logging enforced on the host between blocks.
+    """
+    import time as _time
+
     from deeparc_tpu.parallel.sharded_ba import make_mesh
-    from deeparc_tpu.residuals.reprojection import unflatten_camera
+    from deeparc_tpu.residuals.reprojection import (
+        flatten_camera, unflatten_camera,
+    )
+    from deeparc_tpu.solver import trust_region as tr_mod
     from deeparc_tpu.solver.ba import BAResult
+    from deeparc_tpu.solver.tiles import TileState
 
     if mesh is None:
         mesh = make_mesh()
@@ -160,12 +177,6 @@ def solve_ba_tiles_sharded(
     params_p, tiles_p, point_free_p, orig_rows = shard_tile_rows(
         params_t, tiles, point_free_t, n_shards, chunk_obs)
 
-    # shard each bucket's rows round-robin-contiguously: reshape to
-    # (n_shards, per_shard, ...) then let shard_map split the leading axis
-    def reshard(arr):
-        per = arr.shape[0] // n_shards
-        return arr.reshape((n_shards * per,) + arr.shape[1:])
-
     step = make_tile_step(options, params_p, chunk_obs, axis=axis)
     spec = P(axis)
 
@@ -176,37 +187,107 @@ def solve_ba_tiles_sharded(
             loc=tuple(jnp.asarray(x) for x in b.loc),
         ) for b in tiles_p.buckets)
 
-    def spmd(points, point_free, buckets, cells, cam_free):
-        t = TileIndex(cells=cells, buckets=buckets,
-                      row_of_point=jnp.zeros((1,), jnp.int32))
-        p = dataclasses.replace(params_p, points=points)
-        state = init_tile_state(p, t, options, cam_free, axis=axis,
-                                chunk_obs=chunk_obs)
-        final = jax.lax.while_loop(
-            lambda st: (st.status == 0) & (st.k < options.max_iterations),
+    def local_tiles(buckets, cells):
+        return TileIndex(cells=cells, buckets=buckets,
+                         row_of_point=jnp.zeros((1,), jnp.int32))
+
+    def spmd_init(points, buckets, cells, cam_free, cam_params):
+        t = local_tiles(buckets, cells)
+        p = dataclasses.replace(cam_params, points=points)
+        return init_tile_state(p, t, options, cam_free, axis=axis,
+                               chunk_obs=chunk_obs)
+
+    def spmd_block(state, point_free, buckets, cells, cam_free, k_stop):
+        t = local_tiles(buckets, cells)
+        return jax.lax.while_loop(
+            lambda st: (st.status == 0) & (st.k < k_stop),
             lambda st: step(st, t, cam_free, point_free)[0],
             state,
         )
-        return final.points, final.cam_vec, final.cost, final.k, final.status
 
     bucket_specs = tuple(
         TileBucket(cell=spec, xy0=spec, xy1=spec, mask=spec,
                    loc=(spec, spec) if b.loc else ())
         for b in buckets_in)
-    fn = shard_map(
-        spmd,
-        mesh=mesh,
-        in_specs=(spec, spec, bucket_specs,
-                  jax.tree.map(lambda _: P(), tiles_p.cells), P()),
-        out_specs=(spec, P(), P(), P(), P()),
+    cell_specs = jax.tree.map(lambda _: P(), tiles_p.cells)
+    state_spec = TileState(
+        points=spec, cam_vec=P(), cost=P(),
+        tr=tr_mod.TRState(radius=P(), decrease_factor=P()),
+        k=P(), status=P(),
     )
-    points_f, cam_f, cost_f, k_f, status_f = jax.jit(fn)(
-        params_p.points, point_free_p, buckets_in, tiles_p.cells, cam_free)
+    init_fn = jax.jit(shard_map(
+        spmd_init, mesh=mesh,
+        in_specs=(spec, bucket_specs, cell_specs, P(),
+                  jax.tree.map(lambda _: P(), params_p)),
+        out_specs=state_spec,
+    ))
+    block_fn = jax.jit(shard_map(
+        spmd_block, mesh=mesh,
+        in_specs=(state_spec, spec, bucket_specs, cell_specs, P(), P()),
+        out_specs=state_spec,
+    ))
 
-    # drop shard padding back to the caller's row space
-    keep = orig_rows >= 0
-    pts_out = jnp.asarray(np.asarray(points_f)[keep])
-    out = unflatten_camera(cam_f, params_t)
-    out = dataclasses.replace(out, points=pts_out)
-    return BAResult(params=out, cost=float(cost_f), iterations=int(k_f),
-                    status=int(status_f))
+    state = init_fn(params_p.points, buckets_in, tiles_p.cells, cam_free,
+                    params_p)
+    if resume and checkpoint_path:
+        import os as _os
+
+        if _os.path.exists(checkpoint_path):
+            from deeparc_tpu.utils.checkpoint import load_solver_state
+
+            ck_params, scal = load_solver_state(
+                checkpoint_path, dtype=params_t.points.dtype)
+            # checkpoint points are in the CALLER's row space; re-pad
+            keep = orig_rows >= 0
+            pts_pad = np.asarray(params_p.points).copy()
+            pts_pad[keep] = np.asarray(ck_params.points)
+            ck_p = dataclasses.replace(
+                ck_params, points=jnp.asarray(pts_pad))
+            state = init_fn(ck_p.points, buckets_in, tiles_p.cells,
+                            cam_free, ck_p)
+            state = state._replace(
+                tr=tr_mod.TRState(
+                    radius=jnp.asarray(scal["radius"],
+                                       params_t.points.dtype),
+                    decrease_factor=jnp.asarray(
+                        scal["decrease_factor"], params_t.points.dtype)),
+                k=jnp.asarray(scal["iteration"]),
+            )
+
+    def _row_space_params(st):
+        from deeparc_tpu.parallel.multihost import gather_global
+
+        keep = orig_rows >= 0
+        pts_out = jnp.asarray(gather_global(st.points)[keep])
+        out = unflatten_camera(st.cam_vec, params_t)
+        return dataclasses.replace(out, points=pts_out)
+
+    def _save(st, k):
+        from deeparc_tpu.utils.checkpoint import save_solver_state
+
+        if jax.process_index() != 0:
+            return
+        save_solver_state(
+            checkpoint_path, _row_space_params(st),
+            float(st.tr.radius), float(st.tr.decrease_factor),
+            k, float(st.cost),
+        )
+
+    t0 = _time.time()
+    k = int(state.k)
+    while int(state.status) == 0 and k < options.max_iterations:
+        if _time.time() - t0 > options.max_seconds:
+            break
+        k_stop = min(k + while_block, options.max_iterations)
+        state = block_fn(state, point_free_p, buckets_in, tiles_p.cells,
+                         cam_free, jnp.asarray(k_stop))
+        k = int(state.k)
+        if logger is not None:
+            logger.log("lm_block", iter=k, cost=float(state.cost),
+                       radius=float(state.tr.radius),
+                       status=int(state.status))
+        if checkpoint_path:
+            _save(state, k)
+
+    return BAResult(params=_row_space_params(state), cost=float(state.cost),
+                    iterations=int(state.k), status=int(state.status))

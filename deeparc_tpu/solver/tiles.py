@@ -1097,6 +1097,7 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         """Pre-transpose per-bucket planes once; return (sweep, edot)."""
         from deeparc_tpu.kernels.tile_pallas import (
             MAX_KERNEL_WIDTH, pack_bucket_planes, tile_sweep,
+            tile_sweep_local,
         )
 
         interpret = jax.default_backend() != "tpu"
@@ -1110,12 +1111,21 @@ def make_tile_step(options: SolverOptions, template: BAParams,
             if W > MAX_KERNEL_WIDTH:
                 planes.append(None)
             else:
+                plane = b.loc[0] if b.loc else b.cell
                 cell_t, jcam_t, jx_t = pack_bucket_planes(
-                    blk.j_x, blk.j_cam, b.cell)
+                    blk.j_x, blk.j_cam, plane)
                 binv_t = binv[offset: offset + Nb].reshape(Nb, 9).T
                 gp_t = sys.g_p[offset: offset + Nb].T
-                planes.append((cell_t, jcam_t, jx_t, binv_t, gp_t, Nb))
+                chunk_cells = b.loc[1] if b.loc else None
+                planes.append((cell_t, jcam_t, jx_t, binv_t, gp_t,
+                               chunk_cells))
             offset += Nb
+
+        def _local_v(v_cells, chunk_cells):
+            if v_cells is None:
+                n_chunks, Vl = chunk_cells.shape
+                return jnp.zeros((n_chunks, 18, Vl), dtype)
+            return jnp.swapaxes(v_cells[chunk_cells], 1, 2)
 
         def sweep(v_cells, rhs_mode):
             out = jnp.zeros((V, 18), dtype)
@@ -1133,12 +1143,20 @@ def make_tile_step(options: SolverOptions, template: BAParams,
                                          binv[off: off + Nb],
                                          v_cells, rhs_mode, chunk_obs)
                 else:
-                    cell_t, jcam_t, jx_t, binv_t, gp_t, _ = planes[i]
-                    out = out + tile_sweep(
-                        cell_t, jcam_t, jx_t, binv_t, gp_t,
-                        zeros_v if rhs_mode else v_cells,
-                        mode="rhs" if rhs_mode else "matvec",
-                        interpret=interpret)
+                    cell_t, jcam_t, jx_t, binv_t, gp_t, cc = planes[i]
+                    mode = "rhs" if rhs_mode else "matvec"
+                    if cc is not None:
+                        bins = tile_sweep_local(
+                            cell_t, jcam_t, jx_t, binv_t, gp_t,
+                            _local_v(None if rhs_mode else v_cells, cc),
+                            mode=mode, interpret=interpret)
+                        out = out.at[cc.reshape(-1)].add(
+                            bins.reshape(-1, 18))
+                    else:
+                        out = out + tile_sweep(
+                            cell_t, jcam_t, jx_t, binv_t, gp_t,
+                            zeros_v if rhs_mode else v_cells,
+                            mode=mode, interpret=interpret)
                 off += Nb
             return out
 
@@ -1156,10 +1174,16 @@ def make_tile_step(options: SolverOptions, template: BAParams,
                     parts.append(_e_dot_cells(sub_tiles, sub_sys, v_cells,
                                               chunk_obs)[:Nb])
                 else:
-                    cell_t, jcam_t, jx_t, binv_t, gp_t, _ = planes[i]
-                    parts.append(tile_sweep(
-                        cell_t, jcam_t, jx_t, binv_t, gp_t, v_cells,
-                        mode="edot", interpret=interpret))
+                    cell_t, jcam_t, jx_t, binv_t, gp_t, cc = planes[i]
+                    if cc is not None:
+                        parts.append(tile_sweep_local(
+                            cell_t, jcam_t, jx_t, binv_t, gp_t,
+                            _local_v(v_cells, cc),
+                            mode="edot", interpret=interpret))
+                    else:
+                        parts.append(tile_sweep(
+                            cell_t, jcam_t, jx_t, binv_t, gp_t, v_cells,
+                            mode="edot", interpret=interpret))
                 off += Nb
             tail = sys.g_p.shape[0] - off
             if tail > 0:

@@ -38,11 +38,11 @@ def timeit(fn, *args, reps=5, warmup=2):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--m", type=int, default=8_000_000)
+    p.add_argument("--m", type=int, default=8_388_608)  # multiple of 8192
     p.add_argument("--v", type=int, default=2000)
     p.add_argument("--w", type=int, default=8)
     args = p.parse_args()
-    M, V, W = args.m, args.v, args.w
+    M, V, W = -(-args.m // 8192) * 8192, args.v, args.w
     R = M // W
 
     key = jax.random.PRNGKey(0)

@@ -219,3 +219,77 @@ def test_tiles_while_loop_blocked_driver_matches():
                        SolverOptions(max_iterations=100, max_seconds=0.0),
                        chunk_obs=16, driver="while_loop", while_block=2)
     assert c.iterations == 0
+
+
+def test_sharded_grid_operational_parity(tmp_path):
+    """The SHARDED grid solver honors max_seconds, checkpoints between
+    blocks, resumes, and logs per block (VERDICT r2 task 5) on the virtual
+    8-device mesh."""
+    from deeparc_tpu.parallel.sharded_ba import make_mesh
+    from deeparc_tpu.parallel.sharded_grid import solve_ba_grid_sharded
+    from deeparc_tpu.utils import JsonlLogger, load_solver_state
+
+    scene, free, grid = _grid_problem()
+    mesh = make_mesh(4)
+    path = str(tmp_path / "ck_sharded.npz")
+    log_path = str(tmp_path / "sharded_log.jsonl")
+
+    # zero budget: must stop before running a single block
+    out0 = solve_ba_grid_sharded(
+        scene.params, grid, free,
+        SolverOptions(max_iterations=100, max_seconds=0.0),
+        mesh=mesh, chunk_size=16, while_block=2)
+    assert out0.iterations == 0
+
+    with JsonlLogger(log_path) as logger:
+        a = solve_ba_grid_sharded(
+            scene.params, grid, free, SolverOptions(max_iterations=4),
+            mesh=mesh, chunk_size=16, while_block=2,
+            checkpoint_path=path, logger=logger)
+    records = [json.loads(line) for line in open(log_path)]
+    assert len(records) >= 2 and all(r["event"] == "lm_block"
+                                     for r in records)
+    ck_params, scal = load_solver_state(path)
+    assert ck_params.points.shape == scene.params.points.shape
+    assert scal["iteration"] == a.iterations
+
+    b = solve_ba_grid_sharded(
+        scene.params, grid, free, SolverOptions(max_iterations=8),
+        mesh=mesh, chunk_size=16, while_block=2,
+        checkpoint_path=path, resume=True)
+    assert b.iterations >= a.iterations
+    assert float(b.cost) <= float(a.cost) + 1e-9
+
+
+def test_sharded_tiles_operational_parity(tmp_path):
+    """Same guarantees for the sharded tile solver."""
+    from deeparc_tpu.parallel.sharded_ba import make_mesh
+    from deeparc_tpu.parallel.sharded_tiles import solve_ba_tiles_sharded
+    from deeparc_tpu.residuals.reprojection import flatten_camera
+    from deeparc_tpu.solver.tiles import tiles_from_scene
+    from deeparc_tpu.utils import JsonlLogger
+
+    scene, free = _problem()
+    tiles, params_t, free_t = tiles_from_scene(scene, free, chunk_obs=16)
+    cam_free = flatten_camera(free)
+    mesh = make_mesh(4)
+    path = str(tmp_path / "ck_tiles_sh.npz")
+    log_path = str(tmp_path / "tiles_sh_log.jsonl")
+    opts = SolverOptions(linear_solver="iterative_schur",
+                         cg_max_iterations=40, max_iterations=4)
+    with JsonlLogger(log_path) as logger:
+        a = solve_ba_tiles_sharded(
+            params_t, tiles, free_t, cam_free, opts, mesh=mesh,
+            chunk_obs=16, while_block=2, checkpoint_path=path,
+            logger=logger)
+    records = [json.loads(line) for line in open(log_path)]
+    assert len(records) >= 2 and all(r["event"] == "lm_block"
+                                     for r in records)
+    b = solve_ba_tiles_sharded(
+        params_t, tiles, free_t, cam_free,
+        SolverOptions(linear_solver="iterative_schur",
+                      cg_max_iterations=40, max_iterations=8),
+        mesh=mesh, chunk_obs=16, while_block=2,
+        checkpoint_path=path, resume=True)
+    assert b.iterations >= a.iterations
+    assert float(b.cost) <= float(a.cost) + 1e-9
