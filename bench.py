@@ -89,6 +89,10 @@ def parse_args(argv=None):
     p.add_argument("--target-rmse", type=float, default=1.5,
                    help="time-to-rmse target in px (default 1.5: just above "
                         "the sqrt(2)*sigma noise floor of the 1 px/axis rig)")
+    p.add_argument("--matrix", action="store_true",
+                   help="run the full benchmark matrix (every BASELINE row) "
+                        "in subprocesses and write BENCH.md + "
+                        "BENCH_MATRIX.json")
     p.add_argument("--with-ceres-equiv", action="store_true",
                    help="measure the Ceres-equivalent CPU DENSE_SCHUR anchor "
                         "if not cached (scripts/ceres_equiv_cpu.py; minutes)")
@@ -139,6 +143,32 @@ def tile_flops_per_step(n_rows, W, V, cg_iters):
     lin = slots * (2 * 78 * V + 2 * 189 * V + 700)
     sweep = slots * (2 * 2 * 18 * V + 200)
     return lin + (cg_iters + 3) * sweep
+
+
+def measure_peak_tflops() -> dict:
+    """Measured MXU anchor: big square matmuls in f32 and bf16.
+
+    'Speed of light' claims are made against this MEASURED rate, not a
+    datasheet number — the ratio est_tflops / peak is the reported MFU.
+    """
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    n = 8192
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        a = jnp.ones((n, n), dt)
+        f = jax.jit(lambda x: x @ x)
+        x = f(a)
+        _ = float(jnp.sum(x[:1, :1]))
+        t0 = _t.time()
+        for _i in range(3):
+            x = f(x)
+        _ = float(jnp.sum(x[:1, :1]))
+        out[name] = 3 * 2 * n ** 3 / (_t.time() - t0) / 1e12
+    return out
 
 
 def measure(args) -> dict:
@@ -326,6 +356,11 @@ def measure(args) -> dict:
     )
     if est_flops is not None:
         out["est_tflops"] = est_flops * ips / 1e12
+        if jax.default_backend() != "cpu" and not args.measure_only:
+            peak = measure_peak_tflops()
+            out["measured_peak_tflops"] = {k: round(v, 1)
+                                           for k, v in peak.items()}
+            out["mfu_vs_f32_peak"] = out["est_tflops"] / peak["f32"]
     if args.engine == "tiles":
         out["v_local"] = v_eff if args.engine == "tiles" else None
     return out
@@ -568,8 +603,80 @@ def ceres_equiv_baseline(args) -> float | None:
     return value
 
 
+MATRIX = [
+    ("grid sparse rig (flagship, pallas)", ["--engine", "grid"]),
+    ("grid dense rig (pallas)", ["--engine", "grid", "--dense"]),
+    ("grid dense rig (planes)",
+     ["--engine", "grid", "--dense", "--impl", "planes"]),
+    ("tiles sparse rig (pallas)", ["--engine", "tiles"]),
+    ("tiles BAL 1M pts windowed (pallas)", ["--engine", "tiles", "--bal"]),
+    ("tiles BAL 1M pts random graph (pallas)",
+     ["--engine", "tiles", "--bal-random"]),
+    ("indexed engine (reference layout)", ["--engine", "indexed"]),
+    ("time-to-RMSE 1.5px, grid sparse (BASELINE row 4)", ["--time-to-rmse"]),
+    ("8-virtual-device distribution overhead (BASELINE row 3 proxy)",
+     ["--scaling"]),
+]
+
+
+def run_matrix(args) -> int:
+    """Every BASELINE row as one JSON line, recorded in BENCH.md."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rows = []
+    for name, flags in MATRIX:
+        cmd = [sys.executable, os.path.abspath(__file__)] + flags
+        print(f"# running: {name} ({' '.join(flags)})", file=sys.stderr)
+        t0 = time.time()
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=7200, cwd=here)
+        line = ""
+        for cand in reversed(r.stdout.strip().splitlines() or [""]):
+            if cand.startswith("{"):
+                line = cand
+                break
+        ok = r.returncode == 0 and line
+        rows.append((name, flags, line if ok
+                     else f'{{"error": "rc={r.returncode}"}}'))
+        print(f"#   -> {line[:160] if ok else r.stderr[-200:]} "
+              f"[{time.time() - t0:.0f}s]", file=sys.stderr)
+
+    import datetime
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+    md = ["# BENCH — full benchmark matrix", "",
+          f"Recorded {stamp} by `python bench.py --matrix` "
+          "(one subprocess per row; TPU rows on the real chip).", "",
+          "| config | metric | value | key detail |", "|---|---|---|---|"]
+    for name, flags, line in rows:
+        try:
+            j = json.loads(line)
+            det = j.get("detail", {})
+            keys = ("live_obs_per_sec", "mfu_vs_f32_peak", "n_obs",
+                    "v_local", "iters_to_rmse", "final_rmse", "overhead")
+            kd = ", ".join(f"{k}={det[k]}" for k in keys if k in det)
+            md.append(f"| {name} | {j['metric']} | {j['value']} "
+                      f"{j.get('unit', '')} | {kd} |")
+        except Exception:
+            md.append(f"| {name} | ERROR | — | {line[:80]} |")
+    md += ["", "## Raw JSON lines", "", "```"]
+    for name, flags, line in rows:
+        md += [f"# {name}", line]
+    md += ["```", ""]
+    with open(os.path.join(here, "BENCH.md"), "w") as f:
+        f.write("\n".join(md))
+    with open(os.path.join(here, "BENCH_MATRIX.json"), "w") as f:
+        json.dump([{"name": n, "flags": fl,
+                    "result": json.loads(l) if l.startswith("{") else l}
+                   for n, fl, l in rows], f, indent=1)
+    print(json.dumps({"metric": "bench_matrix_rows", "value": len(rows),
+                      "unit": "configs", "vs_baseline": None}))
+    return 0
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.matrix:
+        return run_matrix(args)
     if args.time_to_rmse:
         result = measure_time_to_rmse(args)
         vs = None
@@ -646,6 +753,9 @@ def main(argv=None) -> int:
     }
     if "est_tflops" in result:
         detail["est_tflops"] = round(result["est_tflops"], 3)
+    if "measured_peak_tflops" in result:
+        detail["measured_peak_tflops"] = result["measured_peak_tflops"]
+        detail["mfu_vs_f32_peak"] = round(result["mfu_vs_f32_peak"], 4)
     if result.get("v_local") is not None:
         detail["v_local"] = result["v_local"]
     if args.engine == "grid" and not args.dense:

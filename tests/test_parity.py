@@ -22,21 +22,31 @@ from deeparc_tpu.scene import freeze_masks, from_deeparc
 from deeparc_tpu.solver import solve_ba
 
 
-@pytest.mark.parametrize("solver", ["dense_schur", "iterative_schur"])
-def test_final_cost_matches_scipy_reference(solver):
+@pytest.fixture(scope="module")
+def scipy_reference():
+    """The scipy-TRF reference minimum, solved ONCE for both solver
+    parametrizations (it is solver-independent and dominates wall time)."""
     rig = make_hemisphere_rig(
         n_arc=3, n_ring=5, n_points=40, pixel_noise=0.6, point_noise=0.05,
         seed=17,
     )
     scene = from_deeparc(rig.data)
     free = freeze_masks(scene)
+    ref_cost = _scipy_min_cost(scene, free)
+    return scene, free, ref_cost
 
+
+@pytest.mark.parametrize("solver", ["dense_schur", "iterative_schur"])
+def test_final_cost_matches_scipy_reference(solver, scipy_reference):
+    scene, free, ref_cost = scipy_reference
     ours = solve_ba(
         scene.params, scene.index, free,
         SolverOptions(max_iterations=100, linear_solver=solver),
     )
-    our_cost = float(ours.cost)
+    assert float(ours.cost) == pytest.approx(ref_cost, rel=1e-5)
 
+
+def _scipy_min_cost(scene, free):
     # scipy reference on the identical free parameters (points + non-gauge
     # extrinsics), same residual evaluation.
     cam_free = np.asarray(flatten_camera(free)) > 0.5
@@ -62,4 +72,4 @@ def test_final_cost_matches_scipy_reference(solver):
     ref = least_squares(fun, x0, method="trf", xtol=1e-12, ftol=1e-12,
                         gtol=1e-12, max_nfev=4000)
     # scipy's .cost is 0.5 * sum(r^2) — the same convention as ours
-    assert our_cost == pytest.approx(float(ref.cost), rel=1e-5)
+    return float(ref.cost)

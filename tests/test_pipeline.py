@@ -4,6 +4,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deeparc_tpu.config import FilterOptions, PipelineOptions, SolverOptions
 from deeparc_tpu.io import make_hemisphere_rig, read_deeparc
@@ -129,6 +130,7 @@ def test_cli_smoke(tmp_path, capsys):
     assert (tmp_path / "synthetic_output.deeparc").exists()
 
 
+@pytest.mark.slow
 def test_grid_and_indexed_pipelines_agree(tmp_path):
     import dataclasses as dc
 
@@ -202,6 +204,7 @@ def test_grid_driver_multi_round_filtering_with_snapshots(tmp_path):
     assert out.n_points == sidecar["points_alive"]
 
 
+@pytest.mark.slow
 def test_random_point_init_recovers_structure():
     """Config 2 (teabottle_green_randompoint): structure initialized
     uniformly at random in the object box must converge to the same minimum
@@ -235,7 +238,7 @@ def test_random_point_init_recovers_structure():
     # same minimum from a random basin start (the trust region's robustness
     # claim); tolerance covers a handful of stray points caught in local
     # minima out of 60
-    import numpy as np
+    import numpy as np  # noqa: F401
     assert a.cost <= b.cost * 1.05, (a.cost, b.cost)
 
 
@@ -283,7 +286,7 @@ def test_bal_scene_pipeline_uses_tiles(tmp_path, capsys):
 def test_bal_file_cli_roundtrip(tmp_path):
     """A real .bal FILE through the CLI exercises read_bal -> tiles engine
     -> refined output (the config-5 entry path, cli.py)."""
-    import numpy as np
+    import numpy as np  # noqa: F401
 
     rng = np.random.default_rng(1)
     n_cam, n_pts, track = 6, 80, 4

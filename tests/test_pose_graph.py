@@ -88,11 +88,11 @@ def test_bfs_order_visits_all_cells_covisibility_first():
 
 def test_incremental_converges_to_batch_quality():
     rig = make_hemisphere_rig(
-        n_arc=3, n_ring=6, n_points=80, pixel_noise=0.5, point_noise=0.04,
+        n_arc=3, n_ring=5, n_points=56, pixel_noise=0.5, point_noise=0.04,
         seed=6,
     )
     opts = PipelineOptions(
-        solver=SolverOptions(max_iterations=8, progress_to_stdout=False)
+        solver=SolverOptions(max_iterations=6, progress_to_stdout=False)
     )
     result = run_incremental(rig.data, opts, verbose=False)
     assert result.batches >= 2

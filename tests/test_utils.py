@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from deeparc_tpu.config import SolverOptions
 from deeparc_tpu.io import make_hemisphere_rig
@@ -85,6 +86,7 @@ def test_phase_timer():
     assert rep["stage_a"]["count"] == 2
 
 
+@pytest.mark.slow
 def test_nan_debugging_fails_loudly_on_degenerate_point():
     """A point at z=0 hits the unguarded perspective divide
     (src/snavely_reprojection_error.hh:49-50); with the NaN-debug toggle on
