@@ -102,6 +102,10 @@ def parse_args(argv=None):
 def build_config(args):
     if args.bal_random:
         args.bal = True
+    if args.bal and args.engine != "tiles":
+        # --bal is a tiles-engine config; a bare `--bal` must not silently
+        # bench the grid engine and stamp "bal": true on the result
+        args.engine = "tiles"
     n_points = args.n_points or (2_000 if args.quick else 400_000)
     # 8 arcs x 24 rings; sparse config thins visibility to mean track ~ 10
     return dict(

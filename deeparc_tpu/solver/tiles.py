@@ -731,6 +731,87 @@ def linearize_tiles(
     )
 
 
+def fused_linearize_ok(tiles: TileIndex) -> bool:
+    """True when every bucket carries locality blocking narrow enough for
+    the fused Pallas linearize kernel (kernels/tile_pallas.py)."""
+    from deeparc_tpu.kernels.tile_pallas import MAX_LIN_WIDTH
+
+    return bool(tiles.buckets) and all(
+        b.loc and b.cell.shape[1] <= MAX_LIN_WIDTH for b in tiles.buckets)
+
+
+def linearize_tiles_fused(
+    points_t: jnp.ndarray,
+    packed: jnp.ndarray,
+    tiles: TileIndex,
+    point_free_t: jnp.ndarray,
+    C: int,
+    loss: str = "trivial",
+    loss_scale: float = 0.5,
+    interpret: bool = False,
+):
+    """Full linearization through the fused Pallas kernel (loc'd buckets).
+
+    Returns ``(sys, planes)``: ``sys`` is a :class:`TileSystem` with
+    ``blocks=()`` (the per-slot residual/Jacobian data lives in ``planes``
+    instead — already in the transposed layout the sweep kernels consume:
+    one ``(cell_t, jcam_t, jx_t, r_t)`` tuple per bucket). Requires
+    :func:`fused_linearize_ok`. ~20x the XLA ``linearize_tiles`` on the
+    v5e at BAL scale (the einsum path's 2/3/18 trailing dims waste the
+    vector lanes; see kernels/tile_pallas.py).
+    """
+    from deeparc_tpu.kernels.tile_pallas import tile_linearize_local
+
+    V = packed.shape[0]
+    dtype = points_t.dtype
+    cols = tiles.cells.cols
+
+    cost_total = jnp.zeros((), dtype)
+    g_p_parts, hpp_parts, planes = [], [], []
+    g_cells = jnp.zeros((V, 18), dtype)
+    hcc_packed = jnp.zeros((V, 171), dtype)
+
+    offset = 0
+    for b in tiles.buckets:
+        Nb, W = b.cell.shape
+        local, chunk_cells = b.loc
+        tables = packed[chunk_cells]                 # (n_chunks, Vl, 78)
+        pts_b = points_t[offset: offset + Nb]
+        pf_b = point_free_t[offset: offset + Nb]
+        pts_pack = jnp.concatenate(
+            [pts_b.T, pf_b.T.astype(dtype), jnp.zeros((2, Nb), dtype)],
+            axis=0)
+        cost, pout, r_t, jx_t, jcam_t, gc, hc = tile_linearize_local(
+            pts_pack, local.T, b.xy0.T, b.xy1.T, b.mask.T, tables,
+            loss=loss, loss_scale=loss_scale, interpret=interpret)
+        cost_total = cost_total + cost
+        g_p_parts.append(pout[0:3].T)
+        hpp_parts.append(pout[3:12].T.reshape(Nb, 3, 3))
+        flat_ids = chunk_cells.reshape(-1)
+        g_cells = g_cells.at[flat_ids].add(gc.reshape(-1, 18))
+        hcc_packed = hcc_packed.at[flat_ids].add(hc.reshape(-1, 171))
+        planes.append((local.T, jcam_t, jx_t, r_t))
+        offset += Nb
+
+    tail = points_t.shape[0] - offset
+    if tail > 0:
+        g_p_parts.append(jnp.zeros((tail, 3), dtype))
+        hpp_parts.append(jnp.zeros((tail, 3, 3), dtype))
+
+    hcc_cells = _sym_unpack(hcc_packed)
+    sys = TileSystem(
+        cost=cost_total,
+        g_p=jnp.concatenate(g_p_parts),
+        hpp=jnp.concatenate(hpp_parts),
+        g_c=cells_to_flat(g_cells, cols, C),
+        hcc_cells=hcc_cells,
+        hcc_diag=cells_to_flat(
+            jnp.diagonal(hcc_cells, axis1=-2, axis2=-1), cols, C),
+        blocks=(),
+    )
+    return sys, tuple(planes)
+
+
 def tile_cost(
     points_t: jnp.ndarray,
     packed: jnp.ndarray,
@@ -1093,8 +1174,13 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         out = unflatten_camera(cam_vec, template)
         return dataclasses.replace(out, points=points)
 
-    def _make_kernel_sweeps(tiles, sys, binv):
-        """Pre-transpose per-bucket planes once; return (sweep, edot)."""
+    def _make_kernel_sweeps(tiles, sys, binv, lin_planes=None):
+        """Pre-transpose per-bucket planes once; return (sweep, edot).
+
+        ``lin_planes`` (from :func:`linearize_tiles_fused`) supplies the
+        transposed planes directly — the fused linearize kernel emits them
+        in sweep layout, so ``pack_bucket_planes`` is skipped entirely.
+        """
         from deeparc_tpu.kernels.tile_pallas import (
             MAX_KERNEL_WIDTH, pack_bucket_planes, tile_sweep,
             tile_sweep_local,
@@ -1106,11 +1192,18 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         zeros_v = jnp.zeros((V, 18), dtype)
         planes = []
         offset = 0
-        for b, blk in zip(tiles.buckets, sys.blocks):
+        for i, b in enumerate(tiles.buckets):
             Nb, W = b.cell.shape
-            if W > MAX_KERNEL_WIDTH:
+            if lin_planes is not None:
+                cell_t, jcam_t, jx_t = lin_planes[i][:3]
+                binv_t = binv[offset: offset + Nb].reshape(Nb, 9).T
+                gp_t = sys.g_p[offset: offset + Nb].T
+                planes.append((cell_t, jcam_t, jx_t, binv_t, gp_t,
+                               b.loc[1]))
+            elif W > MAX_KERNEL_WIDTH:
                 planes.append(None)
             else:
+                blk = sys.blocks[i]
                 plane = b.loc[0] if b.loc else b.cell
                 cell_t, jcam_t, jx_t = pack_bucket_planes(
                     blk.j_x, blk.j_cam, plane)
@@ -1130,7 +1223,7 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         def sweep(v_cells, rhs_mode):
             out = jnp.zeros((V, 18), dtype)
             off = 0
-            for i, (b, blk) in enumerate(zip(tiles.buckets, sys.blocks)):
+            for i, b in enumerate(tiles.buckets):
                 Nb, W = b.cell.shape
                 if planes[i] is None:
                     sub_tiles = TileIndex(
@@ -1138,7 +1231,7 @@ def make_tile_step(options: SolverOptions, template: BAParams,
                         row_of_point=tiles.row_of_point)
                     sub_sys = sys._replace(
                         g_p=sys.g_p[off: off + Nb],
-                        blocks=(blk,))
+                        blocks=(sys.blocks[i],))
                     out = out + _e_sweep(sub_tiles, sub_sys,
                                          binv[off: off + Nb],
                                          v_cells, rhs_mode, chunk_obs)
@@ -1163,14 +1256,14 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         def edot(v_cells):
             parts = []
             off = 0
-            for i, (b, blk) in enumerate(zip(tiles.buckets, sys.blocks)):
+            for i, b in enumerate(tiles.buckets):
                 Nb, W = b.cell.shape
                 if planes[i] is None:
                     sub_tiles = TileIndex(
                         cells=tiles.cells, buckets=(b,),
                         row_of_point=tiles.row_of_point)
                     sub_sys = sys._replace(
-                        g_p=sys.g_p[off: off + Nb], blocks=(blk,))
+                        g_p=sys.g_p[off: off + Nb], blocks=(sys.blocks[i],))
                     parts.append(_e_dot_cells(sub_tiles, sub_sys, v_cells,
                                               chunk_obs)[:Nb])
                 else:
@@ -1199,9 +1292,20 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         sp = _cell_slot_params(params, tiles.cells)
         packed = pack_cells(sp, tiles.cells, cam_free)
 
-        sys = linearize_tiles(
-            state.points, packed, tiles, point_free_t, C, chunk_obs,
-            options.loss, options.loss_scale, bin_cam=(impl != "dual"))
+        # the fused linearize engages on real TPU only: its interpret-mode
+        # execution is far slower than the XLA path it replaces (the sweep
+        # kernels stay interpreted on CPU because they're the only
+        # implementation of their layout; the linearize has linearize_tiles)
+        lin_planes = None
+        if (impl == "pallas" and fused_linearize_ok(tiles)
+                and jax.default_backend() == "tpu"):
+            sys, lin_planes = linearize_tiles_fused(
+                state.points, packed, tiles, point_free_t, C,
+                options.loss, options.loss_scale)
+        else:
+            sys = linearize_tiles(
+                state.points, packed, tiles, point_free_t, C, chunk_obs,
+                options.loss, options.loss_scale, bin_cam=(impl != "dual"))
         if impl == "dual":
             if not tiles.cam:
                 raise ValueError(
@@ -1237,7 +1341,8 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         cam_aug = d2c / state.tr.radius
 
         if impl == "pallas":
-            sweep_fn, edot_fn = _make_kernel_sweeps(tiles, sys, binv)
+            sweep_fn, edot_fn = _make_kernel_sweeps(tiles, sys, binv,
+                                                    lin_planes)
         elif impl == "dual":
             sweep_fn = lambda v_cells, rhs_mode: _dual_sweep(
                 tiles, sys, binv, jcam_cms, v_cells, rhs_mode)

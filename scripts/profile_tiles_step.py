@@ -5,6 +5,10 @@ Splits the step into: linearize (system build), one PCG sweep (matvec via
 the impl's sweep path), rhs sweep, edot, trial-cost pass — so optimization
 targets the measured hot piece, not a guess. Prints one JSON line.
 
+All large arrays (tile planes, system blocks) are passed as jit ARGUMENTS —
+closing over them would embed them as HLO constants (catastrophic
+compile/upload through the tunneled TPU).
+
 Run: python scripts/profile_tiles_step.py [--n-points 1000000] [--impl pallas]
 """
 from __future__ import annotations
@@ -17,15 +21,28 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(fn, *args, reps=3, **kw):
+import sys as _sys
+
+_T0 = time.time()
+
+
+def note(msg):
+    print(f"[{time.time() - _T0:7.1f}s] {msg}", file=_sys.stderr, flush=True)
+
+
+def timed(fn, *args, reps=3, label="", **kw):
+    note(f"{label}: compile+first call ...")
     out = fn(*args, **kw)
     jax.block_until_ready(out)
     _ = float(jnp.sum(jax.tree.leaves(out)[0].ravel()[:1]))
+    note(f"{label}: first call done, timing {reps} reps")
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args, **kw)
     _ = float(jnp.sum(jax.tree.leaves(out)[0].ravel()[:1]))
-    return (time.time() - t0) / reps
+    dt = (time.time() - t0) / reps
+    note(f"{label}: {dt:.4f} s/rep")
+    return dt
 
 
 def main():
@@ -33,7 +50,8 @@ def main():
     p.add_argument("--n-points", type=int, default=1_000_000)
     p.add_argument("--n-cameras", type=int, default=2000)
     p.add_argument("--window", type=int, default=128)
-    p.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--impl", default="pallas",
+                   choices=["pallas", "xla", "dual"])
     p.add_argument("--cg-iters", type=int, default=30)
     args = p.parse_args()
 
@@ -43,10 +61,15 @@ def main():
     from deeparc_tpu.solver.linalg import inv3x3
     from deeparc_tpu.solver.trust_region import lm_diagonal
 
+    note("synthesizing problem ...")
     params, tiles, _, cam_free = make_bal_tile_device(
         n_cameras=args.n_cameras, n_points=args.n_points, track_length=8,
         window=args.window, dtype=jnp.float32,
     )
+    jax.block_until_ready(params.points)
+    note("problem on device")
+    if args.impl == "dual":
+        tiles = T.with_cam_layout(tiles)
     n_ext = params.ext_rot.shape[0]
     cam_free = cam_free.at[:6].set(0.0)
     cam_free = cam_free.at[6 * (n_ext - 1): 6 * n_ext].set(0.0)
@@ -64,13 +87,15 @@ def main():
     V = packed.shape[0]
 
     res = {}
-    lin = jax.jit(lambda pts, pk: T.linearize_tiles(
-        pts, pk, tiles, point_free, C))
-    res["linearize_s"] = timed(lin, params.points, packed)
-    sys = lin(params.points, packed)
+    lin = jax.jit(
+        lambda pts, pk, tl, pf: T.linearize_tiles(
+            pts, pk, tl, pf, C, bin_cam=(args.impl != "dual")),
+    )
+    res["linearize_s"] = timed(lin, params.points, packed, tiles, point_free, label="linearize")
+    sys = lin(params.points, packed, tiles, point_free)
 
-    cost_fn = jax.jit(lambda pts, pk: T.tile_cost(pts, pk, tiles))
-    res["trial_cost_s"] = timed(cost_fn, params.points, packed)
+    cost_fn = jax.jit(lambda pts, pk, tl: T.tile_cost(pts, pk, tl))
+    res["trial_cost_s"] = timed(cost_fn, params.points, packed, tiles, label="trial_cost")
 
     diag = jnp.diagonal(sys.hpp, axis1=-2, axis2=-1)
     d2p = lm_diagonal(diag, opts.min_lm_diagonal, opts.max_lm_diagonal)
@@ -79,9 +104,6 @@ def main():
     v_cells = jnp.ones((V, 18), jnp.float32)
 
     if args.impl == "pallas":
-        step = T.make_tile_step(opts, params, impl="pallas")
-        # reach into the kernel-sweep builder through a single step trace is
-        # messy; time the public sweep paths instead via _e_sweep/_make
         from deeparc_tpu.kernels.tile_pallas import (
             pack_bucket_planes, tile_sweep_local,
         )
@@ -89,40 +111,73 @@ def main():
         b = tiles.buckets[0]
         blk = sys.blocks[0]
         plane = b.loc[0] if b.loc else b.cell
-        cell_t, jcam_t, jx_t = pack_bucket_planes(blk.j_x, blk.j_cam, plane)
+
+        pack = jax.jit(pack_bucket_planes)
+        cell_t, jcam_t, jx_t = pack(blk.j_x, blk.j_cam, plane)
+        res["pack_planes_s"] = timed(pack, blk.j_x, blk.j_cam, plane, label="pack_planes")
         binv_t = binv.reshape(-1, 9).T
         gp_t = sys.g_p[: b.cell.shape[0]].T
         cc = b.loc[1]
         v_locals = jnp.swapaxes(v_cells[cc], 1, 2)
 
-        def sweep_matvec():
-            bins = tile_sweep_local(cell_t, jcam_t, jx_t, binv_t, gp_t,
-                                    v_locals, mode="matvec")
-            return jnp.zeros((V, 18)).at[cc.reshape(-1)].add(
+        def sweep_matvec(ct, jc, jx, bt, gt, vl, ccells):
+            bins = tile_sweep_local(ct, jc, jx, bt, gt, vl, mode="matvec")
+            return jnp.zeros((V, 18)).at[ccells.reshape(-1)].add(
                 bins.reshape(-1, 18))
 
-        def sweep_rhs():
-            bins = tile_sweep_local(cell_t, jcam_t, jx_t, binv_t, gp_t,
-                                    jnp.zeros_like(v_locals), mode="rhs")
-            return jnp.zeros((V, 18)).at[cc.reshape(-1)].add(
+        def sweep_rhs(ct, jc, jx, bt, gt, vl, ccells):
+            bins = tile_sweep_local(ct, jc, jx, bt, gt,
+                                    jnp.zeros_like(vl), mode="rhs")
+            return jnp.zeros((V, 18)).at[ccells.reshape(-1)].add(
                 bins.reshape(-1, 18))
 
-        res["sweep_matvec_s"] = timed(jax.jit(sweep_matvec))
-        res["sweep_rhs_s"] = timed(jax.jit(sweep_rhs))
-        res["edot_s"] = timed(jax.jit(lambda: tile_sweep_local(
-            cell_t, jcam_t, jx_t, binv_t, gp_t, v_locals, mode="edot")))
-    else:
-        sweep = jax.jit(lambda v, rm: T._e_sweep(
-            tiles, sys, binv, v, rm), static_argnums=1)
-        res["sweep_matvec_s"] = timed(sweep, v_cells, False)
-        res["sweep_rhs_s"] = timed(sweep, v_cells, True)
+        sweep_args = (cell_t, jcam_t, jx_t, binv_t, gp_t, v_locals, cc)
+        res["sweep_matvec_s"] = timed(jax.jit(sweep_matvec), *sweep_args, label="sweep_matvec")
+        res["sweep_rhs_s"] = timed(jax.jit(sweep_rhs), *sweep_args, label="sweep_rhs")
         res["edot_s"] = timed(
-            jax.jit(lambda v: T._e_dot_cells(tiles, sys, v)), v_cells)
+            jax.jit(lambda ct, jc, jx, bt, gt, vl: tile_sweep_local(
+                ct, jc, jx, bt, gt, vl, mode="edot")),
+            cell_t, jcam_t, jx_t, binv_t, gp_t, v_locals, label="edot")
+    elif args.impl == "dual":
+        prep = jax.jit(lambda tl, s: T._dual_prep(tl, s))
+        jcam_cms = prep(tiles, sys)
+        res["dual_prep_s"] = timed(prep, tiles, sys, label="dual_prep")
+        res["dual_bin_system_s"] = timed(
+            jax.jit(lambda tl, s, jc: T._dual_bin_system(tl, s, jc, V)),
+            tiles, sys, jcam_cms, label="dual_bin_system")
 
+        sweep = jax.jit(
+            lambda tl, s, bi, jc, v, rm: T._dual_sweep(tl, s, bi, jc, v, rm),
+            static_argnums=5)
+        res["sweep_matvec_s"] = timed(
+            sweep, tiles, sys, binv, jcam_cms, v_cells, False,
+            label="sweep_matvec")
+        res["sweep_rhs_s"] = timed(
+            sweep, tiles, sys, binv, jcam_cms, v_cells, True,
+            label="sweep_rhs")
+        res["edot_s"] = timed(
+            jax.jit(lambda tl, s, jc, v: T._dual_edot(tl, s, jc, v)),
+            tiles, sys, jcam_cms, v_cells, label="edot")
+    else:
+        sweep = jax.jit(
+            lambda tl, s, bi, v, rm: T._e_sweep(tl, s, bi, v, rm),
+            static_argnums=4)
+        res["sweep_matvec_s"] = timed(sweep, tiles, sys, binv, v_cells,
+                                      False, label="sweep_matvec")
+        res["sweep_rhs_s"] = timed(sweep, tiles, sys, binv, v_cells, True,
+                                   label="sweep_rhs")
+        res["edot_s"] = timed(
+            jax.jit(lambda tl, s, v: T._e_dot_cells(tl, s, v)),
+            tiles, sys, v_cells, label="edot")
+
+    # per-step one-time pieces (pack_planes / dual prep+bin) + the sweeps
     n_sweeps = args.cg_iters + 1
     res["est_step_s"] = (res["linearize_s"] + res["trial_cost_s"]
                          + res["sweep_rhs_s"] + res["edot_s"]
-                         + n_sweeps * res["sweep_matvec_s"])
+                         + n_sweeps * res["sweep_matvec_s"]
+                         + res.get("pack_planes_s", 0.0)
+                         + res.get("dual_prep_s", 0.0)
+                         + res.get("dual_bin_system_s", 0.0))
     res = {k: round(v, 4) for k, v in res.items()}
     res["impl"] = args.impl
     res["cg_iters"] = args.cg_iters

@@ -85,3 +85,66 @@ def test_tile_sweep_kernel_matches_xla(sweep_problem, mode):
     got = _kernel_sweep_all(tiles, sys, binv, v_cells, mode)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-10, atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def fused_problem():
+    from deeparc_tpu.io.synthetic import make_bal_tile_device
+    from deeparc_tpu.solver.rig_grid import slot_params
+
+    params, tiles, _, cam_free = make_bal_tile_device(
+        n_cameras=24, n_points=64, track_length=6, window=16,
+        chunk_obs=256, dtype=jnp.float64,
+    )
+    point_free = jnp.ones_like(params.points)
+    C = camera_dim(params)
+    packed = pack_cells(slot_params(params, tiles.cells), tiles.cells,
+                        cam_free)
+    return params, tiles, packed, point_free, C
+
+
+def test_fused_linearize_matches_xla(fused_problem):
+    """tile_linearize_local (fused Pallas linearize) == linearize_tiles on
+    a tiny locality-blocked BAL problem, f64 interpret mode. The planes it
+    emits must equal pack_bucket_planes of the XLA system's blocks."""
+    from deeparc_tpu.solver.tiles import (
+        fused_linearize_ok, linearize_tiles_fused,
+    )
+
+    params, tiles, packed, point_free, C = fused_problem
+    assert fused_linearize_ok(tiles)
+
+    ref = linearize_tiles(params.points, packed, tiles, point_free, C)
+    sys_f, planes = linearize_tiles_fused(
+        params.points, packed, tiles, point_free, C, interpret=True)
+
+    np.testing.assert_allclose(sys_f.cost, ref.cost, rtol=1e-12)
+    np.testing.assert_allclose(sys_f.g_p, ref.g_p, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(sys_f.hpp, ref.hpp, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(sys_f.g_c, ref.g_c, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(sys_f.hcc_cells, ref.hcc_cells,
+                               rtol=1e-9, atol=1e-9)
+
+    b, blk = tiles.buckets[0], ref.blocks[0]
+    cell_t, jcam_t, jx_t = pack_bucket_planes(blk.j_x, blk.j_cam, b.loc[0])
+    np.testing.assert_array_equal(planes[0][0], cell_t)
+    np.testing.assert_allclose(planes[0][1], jcam_t, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(planes[0][2], jx_t, rtol=1e-9, atol=1e-12)
+    r_t = blk.r.transpose(1, 2, 0).reshape(-1, blk.r.shape[0])
+    np.testing.assert_allclose(planes[0][3], r_t, rtol=1e-9, atol=1e-12)
+
+
+def test_fused_linearize_robust_loss(fused_problem):
+    """Fused kernel parity under the cauchy loss (weights enter r and J)."""
+    from deeparc_tpu.solver.tiles import linearize_tiles_fused
+
+    params, tiles, packed, point_free, C = fused_problem
+    ref = linearize_tiles(params.points, packed, tiles, point_free, C,
+                          loss="cauchy", loss_scale=2.0)
+    sys_f, _ = linearize_tiles_fused(
+        params.points, packed, tiles, point_free, C,
+        loss="cauchy", loss_scale=2.0, interpret=True)
+    np.testing.assert_allclose(sys_f.cost, ref.cost, rtol=1e-12)
+    np.testing.assert_allclose(sys_f.g_c, ref.g_c, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(sys_f.hcc_cells, ref.hcc_cells,
+                               rtol=1e-9, atol=1e-9)
