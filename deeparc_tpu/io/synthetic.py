@@ -621,7 +621,20 @@ def make_tile_rig_device(
         jax.random.PRNGKey(seed))
     # the generator's rows beyond n_points are real synthetic points too —
     # keep them live (N_pad is the effective problem size)
-    bucket = TileBucket(cell=cell, xy0=xy0, xy1=xy1, mask=mask)
+    #
+    # rig visibility is uniform over ALL T cells (no locality to exploit),
+    # but T itself is small — attach IDENTITY per-chunk tables (local id ==
+    # global id, every chunk's table is the whole cell list) so the fused
+    # Pallas linearize kernel (tile_linearize_local) engages on this
+    # config too. Pad the table width to a sublane multiple; pad entries
+    # point at cell 0 and bin zero contributions (no slot carries their
+    # local id).
+    nch = N_pad // rpc
+    t_pad8 = -(-T // 8) * 8
+    chunk_cells = jnp.asarray(
+        np.tile(np.arange(t_pad8, dtype=np.int32) % T, (nch, 1)))
+    bucket = TileBucket(cell=cell, xy0=xy0, xy1=xy1, mask=mask,
+                        loc=(cell, chunk_cells))
     tiles = TileIndex(
         cells=cells, buckets=(bucket,),
         row_of_point=jnp.arange(N_pad, dtype=jnp.int32),
