@@ -523,7 +523,10 @@ print(json.dumps({{"t": (time.time() - t0) / reps}}))
 def cpu_baseline(args) -> float:
     """CPU iter/s for the same config (cached; measured in a subprocess)."""
     cache_path = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
-    n = args.n_points or (2_000 if args.quick else 400_000)
+    if args.bal:
+        n = args.n_points or (4_000 if args.quick else 1_000_000)
+    else:
+        n = args.n_points or (2_000 if args.quick else 400_000)
     tag = ("_dense" if args.dense else "") + ("_bal" if args.bal else "") + (
         "rand" if args.bal_random else "")
     key = f"cpu_iters_per_sec_{args.engine}{tag}_n{n}"
@@ -607,16 +610,21 @@ def ceres_equiv_baseline(args) -> float | None:
     return value
 
 
+# Non-flagship rows run --no-baseline: a fresh CPU-baseline measurement of
+# a 400k-4M-point problem costs 15+ min of CPU per row and duplicates what
+# the flagship row's cached vs_baseline / vs_ceres_equiv already anchor.
 MATRIX = [
     ("grid sparse rig (flagship, pallas)", ["--engine", "grid"]),
-    ("grid dense rig (pallas)", ["--engine", "grid", "--dense"]),
+    ("grid dense rig (pallas)",
+     ["--engine", "grid", "--dense", "--no-baseline"]),
     ("grid dense rig (planes)",
-     ["--engine", "grid", "--dense", "--impl", "planes"]),
+     ["--engine", "grid", "--dense", "--impl", "planes", "--no-baseline"]),
     ("tiles sparse rig (pallas)", ["--engine", "tiles"]),
     ("tiles BAL 1M pts windowed (pallas)", ["--engine", "tiles", "--bal"]),
     ("tiles BAL 1M pts random graph (pallas)",
-     ["--engine", "tiles", "--bal-random"]),
-    ("indexed engine (reference layout)", ["--engine", "indexed"]),
+     ["--engine", "tiles", "--bal-random", "--no-baseline"]),
+    ("indexed engine (reference layout)",
+     ["--engine", "indexed", "--no-baseline"]),
     ("time-to-RMSE 1.5px, grid sparse (BASELINE row 4)", ["--time-to-rmse"]),
     ("8-virtual-device distribution overhead (BASELINE row 3 proxy)",
      ["--scaling"]),

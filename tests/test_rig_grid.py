@@ -3,6 +3,7 @@ equations, LM steps, and full solves must agree."""
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -129,14 +130,14 @@ def test_grid_step_matches_indexed_step(problem):
     cam_free = flatten_camera(free)
 
     s_idx = init_state(scene.params, scene.index, opts)
-    idx_step = make_step_pure(opts)
+    idx_step = jax.jit(make_step_pure(opts))
     s_idx2, info_idx = idx_step(s_idx, scene.index, cam_free, free.points)
 
     s_g = init_grid_state(scene.params, grid, opts)
     np.testing.assert_allclose(
         float(s_g.cost), float(s_idx.cost), rtol=1e-10
     )
-    g_step = make_grid_step(opts, scene.params, chunk_size=16)
+    g_step = jax.jit(make_grid_step(opts, scene.params, chunk_size=16))
     s_g2, info_g = g_step(s_g, grid, cam_free, free.points)
 
     np.testing.assert_allclose(

@@ -92,8 +92,11 @@ def fused_problem():
     from deeparc_tpu.io.synthetic import make_bal_tile_device
     from deeparc_tpu.solver.rig_grid import slot_params
 
+    # smallest shape that still exercises multi-chunk accumulation and
+    # the local->global scatter: 2 chunks, W=4, V_local=8 (interpret-mode
+    # execution cost scales with tiles x W-unroll)
     params, tiles, _, cam_free = make_bal_tile_device(
-        n_cameras=24, n_points=64, track_length=6, window=16,
+        n_cameras=24, n_points=128, track_length=3, window=8,
         chunk_obs=256, dtype=jnp.float64,
     )
     point_free = jnp.ones_like(params.points)

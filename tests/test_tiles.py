@@ -7,6 +7,7 @@ BAL-style non-shared camera graphs and shared-extrinsic rigs alike.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -26,7 +27,7 @@ from deeparc_tpu.solver.tiles import (
     unpermute_points,
 )
 
-CHUNK = 64  # small chunks so tests exercise multi-chunk paths
+CHUNK = 256  # small enough that every bucket still spans 2+ chunks
 
 
 @pytest.fixture(scope="module", params=["bal", "rig"])
@@ -74,17 +75,17 @@ def test_tile_cost_matches_indexed(problem):
 def test_tile_step_matches_indexed_step(problem, loss):
     scene, free = problem
     opts = SolverOptions(
-        linear_solver="iterative_schur", cg_max_iterations=100,
+        linear_solver="iterative_schur", cg_max_iterations=40,
         cg_tolerance=1e-14, loss=loss,
     )
     cam_free = flatten_camera(free)
 
-    i_step = make_step_pure(opts)
+    i_step = jax.jit(make_step_pure(opts))
     i_state = init_state(scene.params, scene.index, opts)
     i_next, i_info = i_step(i_state, scene.index, cam_free, free.points)
 
     tiles, params_t, free_t = tiles_from_scene(scene, free, chunk_obs=CHUNK)
-    t_step = make_tile_step(opts, params_t, chunk_obs=CHUNK)
+    t_step = jax.jit(make_tile_step(opts, params_t, chunk_obs=CHUNK))
     t_state = init_tile_state(params_t, tiles, opts, cam_free,
                               chunk_obs=CHUNK)
     t_next, t_info = t_step(t_state, tiles, cam_free, free_t)
@@ -104,7 +105,7 @@ def test_tile_step_matches_indexed_step(problem, loss):
 def test_tile_solve_reaches_same_minimum(problem):
     scene, free = problem
     opts = SolverOptions(
-        linear_solver="iterative_schur", cg_max_iterations=100,
+        linear_solver="iterative_schur", cg_max_iterations=40,
         cg_tolerance=1e-12, max_iterations=25,
     )
     a = solve_ba(scene.params, scene.index, free, opts)
