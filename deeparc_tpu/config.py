@@ -75,3 +75,8 @@ class PipelineOptions:
     # tile engine for non-shared (BAL-style) scenes — the two TPU-native
     # at-scale paths; 'grid' / 'indexed' / 'tiles' force one.
     engine: str = "auto"
+    # kernel implementation inside the chosen engine. 'auto' = the fused
+    # Pallas kernels on a real TPU backend (grid: impl='pallas', tiles:
+    # impl='pallas'), the portable XLA paths elsewhere; or force
+    # 'pallas' / 'planes' (grid) / 'xla' (tiles).
+    impl: str = "auto"

@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto = dense grid engine for shared rigs, tile "
                         "engine for non-shared (BAL-style) scenes; indexed "
                         "= the observation-list engine (small problems)")
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "pallas", "planes", "einsum", "xla"],
+                   help="kernel implementation inside the engine (auto = "
+                        "fused Pallas kernels on TPU, portable XLA paths "
+                        "elsewhere)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans: fail loudly at the first NaN "
@@ -123,6 +128,7 @@ def main(argv=None) -> int:
         hemisphere_max_iterations=args.hemisphere_iterations,
         write_snapshots=not args.no_snapshots,
         engine=args.engine,
+        impl=args.impl,
     )
     dtype = jnp.float32 if args.f32 else jnp.float64
     result = run_pipeline(

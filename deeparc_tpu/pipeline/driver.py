@@ -29,6 +29,7 @@ import os
 import time
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -154,16 +155,24 @@ def run_pipeline(
     use_tiles = not use_grid and (
         options.engine == "tiles" or options.engine == "auto"
     )
+    on_tpu = jax.default_backend() == "tpu"
     if use_grid:
         from deeparc_tpu.pipeline.filtering import FilterStats, filter_masks_grid
         from deeparc_tpu.solver.rig_grid import grid_from_scene, solve_ba_grid
 
+        grid_impl = options.impl
+        if grid_impl == "auto":
+            grid_impl = "pallas" if on_tpu else "planes"
+        elif grid_impl == "xla":      # the grid engine's XLA path is 'planes'
+            grid_impl = "planes"
         grid = grid_from_scene(scene)
         log(f"[deeparc] engine=grid ({grid.mask.shape[1]} cells, "
-            f"{float(jnp.mean(grid.mask)) * 100:.1f}% grid density)")
+            f"{float(jnp.mean(grid.mask)) * 100:.1f}% grid density, "
+            f"impl={grid_impl})")
 
         def run_solve(free):
-            res = solve_ba_grid(scene.params, grid, free, options.solver)
+            res = solve_ba_grid(scene.params, grid, free, options.solver,
+                                impl=grid_impl)
             return res
 
         def run_filter():
@@ -226,9 +235,15 @@ def run_pipeline(
         free0 = freeze_masks(scene)
         tiles, params_t, free_t, slot_src = tiles_from_scene(
             scene, free0, with_slot_src=True)
+        tile_impl = options.impl
+        if tile_impl == "auto":
+            tile_impl = "pallas" if on_tpu else "xla"
+        elif tile_impl in ("planes", "einsum"):   # grid-engine names
+            tile_impl = "xla"
         v_loc = [b.loc[1].shape[1] if b.loc else None for b in tiles.buckets]
         log(f"[deeparc] engine=tiles ({tiles.cells.cols.shape[0]} cells, "
-            f"{len(tiles.buckets)} width buckets, v_local={v_loc})")
+            f"{len(tiles.buckets)} width buckets, v_local={v_loc}, "
+            f"impl={tile_impl})")
         cam_free_full = flatten_camera(free0)
         cam_free_frozen = flatten_camera(
             freeze_masks(scene, freeze_camera=True))
@@ -238,7 +253,7 @@ def run_pipeline(
         def run_solve(tiles_cur, params_cur, cam_free, free_rows):
             return solve_tiles_prepared(
                 params_cur, tiles_cur, free_rows, cam_free, options.solver,
-                unpermute=False, _cache=solve_cache,
+                impl=tile_impl, unpermute=False, _cache=solve_cache,
             )
 
         def run_filter(tiles_cur, params_cur):
