@@ -213,6 +213,29 @@ def tiles_from_scene(
     triples = np.stack([outer, inner, intr], axis=1)
     cells_np, cell_of_obs = np.unique(triples, axis=0, return_inverse=True)
     cell_of_obs = cell_of_obs.reshape(-1)
+    # Renumber cells by reverse Cuthill-McKee on the cell co-visibility
+    # graph: real BAL scenes have strong co-visibility locality but
+    # ARBITRARY camera ids, so without this the per-chunk local tables
+    # (TileBucket.loc — what makes the fused Pallas kernels fast) would be
+    # as wide as the whole camera list. RCM gives co-visible cells nearby
+    # ids; combined with the mean-cell point ordering below, each chunk
+    # then touches a narrow band of cells. Harmless when no locality
+    # exists (rigs: the graph is near-complete and the order is moot).
+    if locality and cells_np.shape[0] > 2:
+        import scipy.sparse as _sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        V0 = cells_np.shape[0]
+        A = _sp.coo_matrix(
+            (np.ones(cell_of_obs.size, np.float32),
+             (cell_of_obs, pts_of_obs)), shape=(V0, N)).tocsr()
+        perm = np.asarray(
+            reverse_cuthill_mckee((A @ A.T).tocsr(), symmetric_mode=True),
+            dtype=np.int64)
+        rank_v = np.empty(V0, np.int64)
+        rank_v[perm] = np.arange(V0)
+        cells_np = cells_np[perm]
+        cell_of_obs = rank_v[cell_of_obs]
     six = np.arange(6)
     cols = np.concatenate(
         [

@@ -241,3 +241,55 @@ def test_windowed_bal_generator_loc():
     np.testing.assert_allclose(float(st.cost), float(st_g.cost), rtol=1e-10)
     np.testing.assert_allclose(
         np.asarray(st.points), np.asarray(st_g.points), rtol=1e-8, atol=1e-12)
+
+
+def test_rcm_cell_reordering_recovers_locality():
+    """Cells are RCM-renumbered by co-visibility in tiles_from_scene: a
+    windowed-co-visibility scene whose camera ids have been shuffled must
+    still produce narrow per-chunk local tables (without the reordering
+    every chunk would touch ~the whole camera list)."""
+    from deeparc_tpu.io.deeparc_format import DeepArcData
+
+    rng = np.random.default_rng(0)
+    n_cam, n_pts, track, window = 64, 512, 4, 8
+    latent_start = (np.arange(n_pts) * (n_cam - window)) // (n_pts - 1)
+    cams_latent = np.stack([
+        latent_start[i] + rng.choice(window, track, replace=False)
+        for i in range(n_pts)
+    ])
+    shuffle = rng.permutation(n_cam)
+    obs_cam = shuffle[cams_latent].reshape(-1).astype(np.int32)
+    obs_point = np.repeat(np.arange(n_pts, dtype=np.int32), track)
+    obs_xy = rng.uniform(100.0, 900.0, size=(obs_point.size, 2))
+    data = DeepArcData(
+        version=0.01, share_extrinsic=False, arc_size=n_cam, ring_size=0,
+        obs_arc=obs_cam, obs_ring=obs_cam.copy(), obs_point=obs_point,
+        obs_xy=obs_xy,
+        center=np.tile([512.0, 512.0], (n_cam, 1)),
+        focal=np.concatenate(
+            [np.full((n_cam, 1), 800.0), np.zeros((n_cam, 1))], axis=1),
+        focal_size=np.ones(n_cam, dtype=np.int32),
+        dist=np.zeros((n_cam, 2)),
+        dist_size=np.zeros(n_cam, dtype=np.int32),
+        ext_rot=rng.normal(scale=0.1, size=(n_cam, 3)),
+        ext_trans=np.concatenate(
+            [rng.normal(scale=0.1, size=(n_cam, 2)),
+             np.full((n_cam, 1), 3.0)], axis=1),
+        points=rng.normal(scale=0.3, size=(n_pts, 3)),
+        colors=rng.integers(0, 256, size=(n_pts, 3)).astype(np.int32),
+    )
+    scene = from_deeparc(data)
+    free = freeze_masks(scene)
+    tiles, params_t, free_t = tiles_from_scene(scene, free, chunk_obs=512)
+    b = tiles.buckets[0]
+    assert b.loc, "locality blocking must engage after RCM reordering"
+    local, chunk_cells = b.loc
+    Vl = chunk_cells.shape[1]
+    assert Vl <= 32, f"expected narrow local tables, got V_local={Vl}"
+    # loc tables must stay consistent with the global cell plane
+    rpc = b.cell.shape[0] // chunk_cells.shape[0]
+    cells_np, local_np = np.asarray(b.cell), np.asarray(local)
+    cc_np = np.asarray(chunk_cells)
+    for c in range(cc_np.shape[0]):
+        sl = slice(c * rpc, (c + 1) * rpc)
+        np.testing.assert_array_equal(cc_np[c][local_np[sl]], cells_np[sl])
