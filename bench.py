@@ -623,8 +623,12 @@ MATRIX = [
     ("tiles BAL 1M pts windowed (pallas)", ["--engine", "tiles", "--bal"]),
     ("tiles BAL 1M pts random graph (pallas)",
      ["--engine", "tiles", "--bal-random", "--no-baseline"]),
-    ("indexed engine (reference layout)",
-     ["--engine", "indexed", "--no-baseline"]),
+    # the indexed layout cannot fit the 400k-point flagship problem on one
+    # chip: its (4M, 6, 6) gather/segment temporaries take 28x padding
+    # expansion under TPU tiling (~19 GB HBM). Recorded at 100k points;
+    # live_obs_per_sec is the size-normalized comparison number.
+    ("indexed engine (reference layout, 100k pts; 400k OOMs 16G HBM)",
+     ["--engine", "indexed", "--no-baseline", "--n-points", "100000"]),
     ("time-to-RMSE 1.5px, grid sparse (BASELINE row 4)", ["--time-to-rmse"]),
     ("8-virtual-device distribution overhead (BASELINE row 3 proxy)",
      ["--scaling"]),
