@@ -56,8 +56,9 @@ def parse_args(argv=None):
     p.add_argument("--measure-only", action="store_true",
                    help="print raw iter/s only (used for the CPU subprocess)")
     p.add_argument("--no-baseline", action="store_true")
-    p.add_argument("--engine", default="grid",
-                   choices=["grid", "indexed", "tiles"])
+    p.add_argument("--engine", default=None,
+                   choices=["grid", "indexed", "tiles"],
+                   help="default: grid (tiles when --bal is passed)")
     p.add_argument("--dense", action="store_true",
                    help="grid engine: full-visibility rig (no masked waste)")
     p.add_argument("--bal", action="store_true",
@@ -102,10 +103,14 @@ def parse_args(argv=None):
 def build_config(args):
     if args.bal_random:
         args.bal = True
-    if args.bal and args.engine != "tiles":
-        # --bal is a tiles-engine config; a bare `--bal` must not silently
-        # bench the grid engine and stamp "bal": true on the result
-        args.engine = "tiles"
+    if args.engine is None:
+        args.engine = "tiles" if args.bal else "grid"
+    elif args.bal and args.engine != "tiles":
+        # --bal is a tiles-engine config; refuse contradictory flags rather
+        # than silently rewriting an EXPLICIT --engine choice
+        raise SystemExit(
+            f"--bal is a tiles-engine config; drop --engine {args.engine} "
+            "or use --engine tiles")
     n_points = args.n_points or (2_000 if args.quick else 400_000)
     # 8 arcs x 24 rings; sparse config thins visibility to mean track ~ 10
     return dict(
@@ -147,6 +152,24 @@ def tile_flops_per_step(n_rows, W, V, cg_iters):
     lin = slots * (2 * 78 * V + 2 * 189 * V + 700)
     sweep = slots * (2 * 2 * 18 * V + 200)
     return lin + (cg_iters + 3) * sweep
+
+
+def useful_flops_per_step(n_live_obs, n_points, cg_iters=0):
+    """ENGINE-INDEPENDENT useful work for one LM step (VERDICT r3 item 8).
+
+    Counts only arithmetic any implementation of the same algorithm must do
+    on LIVE observations — no masked slots, no one-hot selection overhead,
+    no padding: closed-form Jacobian chain (~650 FLOP/obs), camera-side
+    Gram/gradient accumulation (2*(171+18) = 378), point-side g/H (~60),
+    trial-cost re-evaluation (~120); for iterative-Schur engines each PCG
+    sweep touches every live obs once (~200 FLOP: E v, B^-1, E^T w), with
+    rhs/back-substitution/cost ~3 sweep-equivalents; plus ~200 FLOP/point
+    for the 3x3 elimination. mfu_useful = useful work rate / measured peak
+    — the cross-engine comparable number (executed MFU rewards overcompute).
+    """
+    per_obs = 650 + 378 + 60 + 120
+    sweeps = 200 * (cg_iters + 3) if cg_iters else 0
+    return n_live_obs * (per_obs + sweeps) + n_points * 200
 
 
 def measure_peak_tflops() -> dict:
@@ -358,12 +381,17 @@ def measure(args) -> dict:
         device=str(jax.devices()[0]),
         final_cost=float(state.cost),
     )
+    cg = args.cg_iters if args.engine in ("tiles", "indexed") else 0
+    useful = useful_flops_per_step(n_obs_real, n_points_real, cg)
+    out["useful_tflops"] = useful * ips / 1e12
     if est_flops is not None:
         out["est_tflops"] = est_flops * ips / 1e12
-        if jax.default_backend() != "cpu" and not args.measure_only:
-            peak = measure_peak_tflops()
-            out["measured_peak_tflops"] = {k: round(v, 1)
-                                           for k, v in peak.items()}
+    if jax.default_backend() != "cpu" and not args.measure_only:
+        peak = measure_peak_tflops()
+        out["measured_peak_tflops"] = {k: round(v, 1)
+                                       for k, v in peak.items()}
+        out["mfu_useful"] = out["useful_tflops"] / peak["f32"]
+        if est_flops is not None:
             out["mfu_vs_f32_peak"] = out["est_tflops"] / peak["f32"]
     if args.engine == "tiles":
         out["v_local"] = v_eff if args.engine == "tiles" else None
@@ -414,41 +442,68 @@ def measure_time_to_rmse(args) -> dict:
     cam_free = cam_free.at[6 * n_ext_rows:].set(0.0)
     point_free = jnp.ones_like(params.points)
 
+    import numpy as np
+
     options = SolverOptions(linear_solver="dense_schur", max_iterations=100)
     g_step = make_grid_step(options, params, args.chunk_size, impl=args.impl)
     block = 5
+    hist_len = options.max_iterations + 1
 
     @jax.jit
-    def run_block(s, g, cf, pf):
+    def run_block(s, hist, g, cf, pf):
         # g/cf/pf must be jit ARGUMENTS: closing over the (n_points, cells)
-        # grid planes would embed them as compile-time constants
+        # grid planes would embed them as compile-time constants. ``hist``
+        # records the post-iteration cost at every iterate (VERDICT r3
+        # item 9: exact per-iteration resolution, not block ceilings).
+        def body(carry):
+            st, h = carry
+            st2, info = g_step(st, g, cf, pf)
+            return st2, h.at[st2.k].set(info.cost)
+
         return jax.lax.while_loop(
-            lambda st: (st.status == 0) & (st.k < s.k + block),
-            lambda st: g_step(st, g, cf, pf)[0],
-            s,
+            lambda c: (c[0].status == 0) & (c[0].k < s.k + block),
+            body, (s, hist),
         )
 
     n_live = float(jnp.sum(grid.mask))
     state = init_grid_state(params, grid, options, impl=args.impl)
     rmse0 = float(jnp.sqrt(2.0 * state.cost / n_live))
+    hist = jnp.full((hist_len,), -1.0, state.cost.dtype).at[0].set(state.cost)
 
     t_c = time.time()
-    probe = run_block(state, grid, cam_free, point_free)  # compile (discarded)
-    float(probe.cost)
+    probe = run_block(state, hist, grid, cam_free, point_free)  # compile
+    float(probe[0].cost)
     compile_s = time.time() - t_c
 
     t0 = time.time()
     t_hit, k_hit = None, None
-    history = [(0, round(rmse0, 4))]
+    t_prev, k_prev = 0.0, 0
     while int(state.status) == 0 and int(state.k) < options.max_iterations:
-        state = run_block(state, grid, cam_free, point_free)
-        rmse = float(jnp.sqrt(2.0 * state.cost / n_live))  # blocks on value
+        state, hist = run_block(state, hist, grid, cam_free, point_free)
+        np_hist = np.asarray(hist)                 # tiny fetch, forces sync
         now = time.time() - t0
-        history.append((int(state.k), round(rmse, 4)))
-        if t_hit is None and rmse <= args.target_rmse:
-            t_hit, k_hit = now, int(state.k)
-            # keep going to convergence so final_rmse is the true floor
+        k_now = int(state.k)
+        if t_hit is None and k_now > k_prev:
+            # exact crossing ITERATION from the on-device trace; wall time
+            # linearly interpolated inside the block (per-iteration step
+            # cost is constant — measured mask-independent, BENCH.md)
+            for k in range(k_prev + 1, k_now + 1):
+                if np_hist[k] < 0:
+                    continue
+                rmse_k = float(np.sqrt(2.0 * np_hist[k] / n_live))
+                if rmse_k <= args.target_rmse:
+                    k_hit = k
+                    frac = (k - k_prev) / (k_now - k_prev)
+                    t_hit = t_prev + frac * (now - t_prev)
+                    break
+        t_prev, k_prev = now, k_now
+        # keep going to convergence so final_rmse is the true floor
     total_s = time.time() - t0
+    np_hist = np.asarray(hist)[: int(state.k) + 1]
+    history = [
+        (k, round(float(np.sqrt(2.0 * c / n_live)), 4))
+        for k, c in enumerate(np_hist) if c >= 0
+    ]
     return dict(
         time_to_rmse_s=t_hit, iters_to_rmse=k_hit,
         target_rmse=args.target_rmse,
@@ -667,8 +722,9 @@ def run_matrix(args) -> int:
         try:
             j = json.loads(line)
             det = j.get("detail", {})
-            keys = ("live_obs_per_sec", "mfu_vs_f32_peak", "n_obs",
-                    "v_local", "iters_to_rmse", "final_rmse", "overhead")
+            keys = ("live_obs_per_sec", "mfu_useful", "mfu_vs_f32_peak",
+                    "n_obs", "v_local", "iters_to_rmse", "final_rmse",
+                    "overhead")
             kd = ", ".join(f"{k}={det[k]}" for k in keys if k in det)
             md.append(f"| {name} | {j['metric']} | {j['value']} "
                       f"{j.get('unit', '')} | {kd} |")
@@ -769,9 +825,13 @@ def main(argv=None) -> int:
     }
     if "est_tflops" in result:
         detail["est_tflops"] = round(result["est_tflops"], 3)
+    if "useful_tflops" in result:
+        detail["useful_tflops"] = round(result["useful_tflops"], 3)
     if "measured_peak_tflops" in result:
         detail["measured_peak_tflops"] = result["measured_peak_tflops"]
-        detail["mfu_vs_f32_peak"] = round(result["mfu_vs_f32_peak"], 4)
+        detail["mfu_useful"] = round(result["mfu_useful"], 4)
+        if "mfu_vs_f32_peak" in result:
+            detail["mfu_vs_f32_peak"] = round(result["mfu_vs_f32_peak"], 4)
     if result.get("v_local") is not None:
         detail["v_local"] = result["v_local"]
     if args.engine == "grid" and not args.dense:

@@ -627,12 +627,13 @@ def make_tile_rig_device(
     # global id, every chunk's table is the whole cell list) so the fused
     # Pallas linearize kernel (tile_linearize_local) engages on this
     # config too. Pad the table width to a sublane multiple; pad entries
-    # point at cell 0 and bin zero contributions (no slot carries their
-    # local id).
+    # are clamped to cell 0 (bucket_with_local's zero-fill convention) and
+    # bin zero contributions (no slot carries a local id >= T).
     nch = N_pad // rpc
     t_pad8 = -(-T // 8) * 8
-    chunk_cells = jnp.asarray(
-        np.tile(np.arange(t_pad8, dtype=np.int32) % T, (nch, 1)))
+    ids = np.zeros(t_pad8, dtype=np.int32)
+    ids[:T] = np.arange(T, dtype=np.int32)
+    chunk_cells = jnp.asarray(np.tile(ids, (nch, 1)))
     bucket = TileBucket(cell=cell, xy0=xy0, xy1=xy1, mask=mask,
                         loc=(cell, chunk_cells))
     tiles = TileIndex(

@@ -207,8 +207,12 @@ def tile_sweep_local(cell_t, jcam_t, jx_t, binv_t, gp_t, v_locals,
     assert Nb % n_chunks == 0
     B = Nb // n_chunks
     dtype = jcam_t.dtype
+    # largest divisor of B not above the requested block (B is normally a
+    # power of two, so this loop exits immediately; odd chunk_obs choices
+    # must degrade the tile size, not crash mid-solve)
     block_n = min(block_n, B)
-    assert B % block_n == 0, (B, block_n)
+    while B % block_n:
+        block_n -= 1
     bpc = B // block_n
     n_tiles = Nb // block_n
 
@@ -556,8 +560,11 @@ def tile_linearize_local(pts_pack, cell_t, xy0_t, xy1_t, mask_t, tables,
     assert Nb % n_chunks == 0, (Nb, n_chunks)
     B = Nb // n_chunks
     dtype = xy0_t.dtype
+    # largest divisor of B not above the requested block (see
+    # tile_sweep_local: user-chosen chunk_obs must not crash mid-solve)
     block_n = min(block_n, B)
-    assert B % block_n == 0, (B, block_n)
+    while B % block_n:
+        block_n -= 1
     bpc = B // block_n
     n_tiles = Nb // block_n
 

@@ -36,15 +36,19 @@ def scipy_reference():
     import json
     import os
 
-    rig = make_hemisphere_rig(
+    rig_kwargs = dict(
         n_arc=3, n_ring=5, n_points=40, pixel_noise=0.6, point_noise=0.05,
         seed=17,
     )
+    rig = make_hemisphere_rig(**rig_kwargs)
     scene = from_deeparc(rig.data)
     free = freeze_masks(scene)
     cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
     cache_path = os.path.join(cache_dir, "scipy_reference_cost.json")
-    key = "rig3x5x40_noise0.6_seed17_trf"
+    # key derived from the actual fixture parameters: changing the problem
+    # invalidates the cached scipy minimum automatically
+    key = "trf_" + "_".join(
+        f"{k}={rig_kwargs[k]}" for k in sorted(rig_kwargs))
     try:
         cached = json.load(open(cache_path))
         if cached.get("key") == key:
