@@ -61,6 +61,18 @@ def parse_args(argv=None):
                    help="default: grid (tiles when --bal is passed)")
     p.add_argument("--dense", action="store_true",
                    help="grid engine: full-visibility rig (no masked waste)")
+    p.add_argument("--sparse-random", action="store_true",
+                   help="grid engine: round-3 uniform-random sparse "
+                        "visibility (no locality anywhere — the worst case; "
+                        "the default sparse config models self-occlusion: "
+                        "each point visible from a cyclic window of "
+                        "--occlusion-rings turntable steps)")
+    p.add_argument("--occlusion-rings", type=int, default=6,
+                   help="sparse grid config: visible-window width in rings")
+    p.add_argument("--no-band", action="store_true",
+                   help="grid engine: disable the live-band kernel path "
+                        "(solver/rig_band.py) even when the mask has "
+                        "locality")
     p.add_argument("--bal", action="store_true",
                    help="tiles engine: BAL-scale non-shared config "
                         "(1M points, 2000 free cameras, track 8, windowed "
@@ -68,6 +80,11 @@ def parse_args(argv=None):
     p.add_argument("--bal-random", action="store_true",
                    help="--bal with the round-2 uniform-random camera graph "
                         "(no locality; engines use global cell tables)")
+    p.add_argument("--bal-heavytail", action="store_true",
+                   help="--bal with a clipped log-normal track distribution "
+                        "(2..512, venice-like): multiple width buckets incl. "
+                        "wide tails; exercises the mixed per-bucket "
+                        "fused/XLA engine path")
     p.add_argument("--window", type=int, default=128,
                    help="--bal co-visibility window (cameras per chunk "
                         "neighborhood)")
@@ -80,6 +97,12 @@ def parse_args(argv=None):
                         "(default pallas on TPU: fused VMEM sweep kernel)")
     p.add_argument("--cg-iters", type=int, default=30,
                    help="fixed PCG iterations (tiles/indexed engines)")
+    p.add_argument("--sweep-dtype", default="f32", choices=["f32", "bf16"],
+                   help="tiles engine: storage dtype of the per-slot "
+                        "Jacobian planes the PCG sweeps read (bf16 halves "
+                        "the sweeps' HBM traffic; accumulation stays f32)")
+    p.add_argument("--sweep-block", type=int, default=256,
+                   help="tiles engine: sweep-kernel lane-block size")
     p.add_argument("--scaling", action="store_true",
                    help="sweep 1..8 virtual devices (CPU) and print the "
                         "scaling-efficiency curve")
@@ -101,7 +124,7 @@ def parse_args(argv=None):
 
 
 def build_config(args):
-    if args.bal_random:
+    if args.bal_random or args.bal_heavytail:
         args.bal = True
     if args.engine is None:
         args.engine = "tiles" if args.bal else "grid"
@@ -112,28 +135,42 @@ def build_config(args):
             f"--bal is a tiles-engine config; drop --engine {args.engine} "
             "or use --engine tiles")
     n_points = args.n_points or (2_000 if args.quick else 400_000)
-    # 8 arcs x 24 rings; sparse config thins visibility to mean track ~ 10
+    # 8 arcs x 24 rings; sparse config thins visibility to mean track ~ 10.
+    # Default sparse visibility is occlusion-windowed (each point visible
+    # from a cyclic window of --occlusion-rings turntable steps — what a
+    # real capture has); --sparse-random reproduces the uniform-random
+    # no-locality worst case. Both have the same n_obs.
+    occl = None if (args.dense or args.sparse_random) else args.occlusion_rings
+    if args.dense:
+        vis = None
+    elif occl is not None:
+        vis = 10.0 / (8 * occl)     # thin inside the n_arc * occl window
+    else:
+        vis = 10.0 / (8 * 24)
     return dict(
         n_arc=8, n_ring=24, n_points=n_points,
-        visibility=None if args.dense else 10.0 / (8 * 24),
+        visibility=vis,
+        occlusion_rings=occl,
         track_length=10,
         pixel_noise=1.0, point_noise=0.02, seed=0,
     )
 
 
-def grid_flops_per_step(n_points, T, R, K, n_live):
-    """Analytic FLOPs for one grid-engine LM step (planes impl).
+def grid_flops_per_step(n_points, T, R, K, n_live, w_lin=0, w_cost=0):
+    """Analytic EXECUTED FLOPs for one grid-engine LM step.
 
     Dominated by: the E one-hot contractions (per (i,j) of 3x6 columns, an
     (N,T)@(T,R|K) matmul), the (2N,18,T) slot Gram, the Jacobian plane
     algebra (~650 flop/slot), and the trial-cost pass (~120 flop/slot).
-    Slots = N*T regardless of visibility (the mask eats dead slots).
+    Slots = N*T regardless of visibility (the mask eats dead slots) —
+    UNLESS the live-band kernels run, in which case only N*w_band slots
+    execute per pass (w_lin/w_cost from solver/rig_band.band_grid).
     """
-    slots = n_points * T
+    slots = n_points * (w_lin or T)
     e_flops = slots * (36 * 2 * R + 18 * 2 * K)
     gram = slots * 2 * 342
     jac = slots * 650
-    cost_pass = slots * 120
+    cost_pass = n_points * (w_cost or T) * 120
     schur = n_points * 200 + (6 * (R + K)) ** 3 / 3
     return e_flops + gram + jac + cost_pass + schur
 
@@ -212,6 +249,7 @@ def measure(args) -> dict:
     from deeparc_tpu.scene import freeze_masks, from_deeparc
 
     cfg = build_config(args)
+    band_detail = None
 
     valid_impls = {"grid": {"planes", "einsum", "pallas"},
                    "tiles": {"xla", "pallas"},
@@ -235,9 +273,29 @@ def measure(args) -> dict:
         params, grid, _ = make_grid_rig_device(
             n_arc=cfg["n_arc"], n_ring=cfg["n_ring"],
             n_points=cfg["n_points"], visibility=cfg["visibility"],
+            occlusion_rings=cfg["occlusion_rings"],
             pixel_noise=cfg["pixel_noise"], point_noise=cfg["point_noise"],
             seed=cfg["seed"], dtype=jnp.float32,
         )
+        # live-band prep: skip dead cell slabs in the pallas kernels when
+        # the visibility mask has locality (solver/rig_band.py); falls back
+        # to the monolithic kernels automatically when it does not
+        band_widths = band_blocks = (0, 0)
+        band_detail = None
+        if args.impl == "pallas" and not args.dense and not args.no_band:
+            import dataclasses as _dc
+
+            from deeparc_tpu.solver.rig_band import band_grid
+
+            prep = band_grid(grid)
+            if prep is not None:
+                grid = prep.grid
+                params = _dc.replace(params,
+                                     points=params.points[prep.perm])
+                band_widths, band_blocks = prep.widths
+                band_detail = {"w_band": prep.w_band,
+                               "w_band_cost": prep.w_band_cost,
+                               "t_cells": int(grid.mask.shape[1])}
         n_ext_rows = params.ext_rot.shape[0]
         K = params.center.shape[0]
         cam_free = jnp.ones(6 * n_ext_rows + 6 * K, jnp.float32)
@@ -253,24 +311,42 @@ def measure(args) -> dict:
             function_tolerance=0.0, gradient_tolerance=0.0,
             parameter_tolerance=0.0,
         )
+        # intrinsics are frozen in this config (the reference's standard BA
+        # mode, src/sfm.cc:60-62) -> the banded kernel skips their E columns
         g_step = make_grid_step(options, params, args.chunk_size,
-                                impl=args.impl)
+                                impl=args.impl, band_widths=band_widths,
+                                band_blocks=band_blocks,
+                                band_intr_frozen=True)
         step = jax.jit(lambda s, g, cf, pf: g_step(s, g, cf, pf)[0],
                        donate_argnums=(0,))
-        state = init_grid_state(params, grid, options, impl=args.impl)
+        state = init_grid_state(params, grid, options, impl=args.impl,
+                                band_widths=band_widths,
+                                band_blocks=band_blocks)
         step_args = (grid, cam_free, point_free)
         n_obs_real = int(jnp.sum(grid.mask))
         n_points_real = cfg["n_points"]
         T = cfg["n_arc"] * cfg["n_ring"]
-        slot_obs = cfg["n_points"] * T
+        slot_obs = cfg["n_points"] * (band_widths[0] or T)
         est_flops = grid_flops_per_step(
-            cfg["n_points"], T, n_ext_rows, K, n_obs_real)
+            cfg["n_points"], T, n_ext_rows, K, n_obs_real,
+            band_widths[0], band_widths[1])
     elif args.engine == "tiles":
         from deeparc_tpu.solver.tiles import (
             init_tile_state, make_tile_step,
         )
 
-        if args.bal:
+        if args.bal_heavytail:
+            from deeparc_tpu.io.synthetic import make_bal_heavytail_device
+
+            n_pts = args.n_points or (4_000 if args.quick else 1_000_000)
+            n_cam = 64 if args.quick else 2000
+            params, tiles, _, cam_free = make_bal_heavytail_device(
+                n_cameras=n_cam, n_points=n_pts, mean_track=8.0,
+                pixel_noise=cfg["pixel_noise"],
+                point_noise=cfg["point_noise"],
+                seed=cfg["seed"], dtype=jnp.float32, window=args.window,
+            )
+        elif args.bal:
             from deeparc_tpu.io.synthetic import make_bal_tile_device
 
             n_pts = args.n_points or (4_000 if args.quick else 1_000_000)
@@ -306,19 +382,25 @@ def measure(args) -> dict:
             function_tolerance=0.0, gradient_tolerance=0.0,
             parameter_tolerance=0.0,
         )
-        t_step = make_tile_step(options, params, impl=args.impl)
+        t_step = make_tile_step(
+            options, params, impl=args.impl,
+            sweep_dtype=jnp.bfloat16 if args.sweep_dtype == "bf16" else None,
+            sweep_block_n=args.sweep_block)
         step = jax.jit(lambda s, t, cf, pf: t_step(s, t, cf, pf)[0],
                        donate_argnums=(0,))
         state = init_tile_state(params, tiles, options, cam_free)
         step_args = (tiles, cam_free, point_free)
         n_obs_real = int(sum(float(jnp.sum(b.mask)) for b in tiles.buckets))
         n_points_real = int(params.points.shape[0])
-        n_rows, W = tiles.buckets[0].cell.shape
         V = int(tiles.cells.slot_outer.shape[0])
         v_eff = (int(tiles.buckets[0].loc[1].shape[1])
                  if tiles.buckets[0].loc else V)
-        slot_obs = n_rows * W
-        est_flops = tile_flops_per_step(n_rows, W, v_eff, args.cg_iters)
+        slot_obs = sum(int(b.cell.size) for b in tiles.buckets)
+        est_flops = sum(
+            tile_flops_per_step(
+                b.cell.shape[0], b.cell.shape[1],
+                int(b.loc[1].shape[1]) if b.loc else V, args.cg_iters)
+            for b in tiles.buckets)
     else:
         from deeparc_tpu.solver.ba import init_state, make_step_pure
 
@@ -395,6 +477,8 @@ def measure(args) -> dict:
             out["mfu_vs_f32_peak"] = out["est_tflops"] / peak["f32"]
     if args.engine == "tiles":
         out["v_local"] = v_eff if args.engine == "tiles" else None
+    if band_detail is not None:
+        out["band"] = band_detail
     return out
 
 
@@ -431,9 +515,21 @@ def measure_time_to_rmse(args) -> dict:
     params, grid, _ = make_grid_rig_device(
         n_arc=cfg["n_arc"], n_ring=cfg["n_ring"],
         n_points=cfg["n_points"], visibility=cfg["visibility"],
+        occlusion_rings=cfg["occlusion_rings"],
         pixel_noise=cfg["pixel_noise"], point_noise=cfg["point_noise"],
         seed=cfg["seed"], dtype=jnp.float32,
     )
+    band_widths = band_blocks = (0, 0)
+    if args.impl == "pallas" and not args.no_band:
+        import dataclasses as _dc
+
+        from deeparc_tpu.solver.rig_band import band_grid
+
+        prep = band_grid(grid)
+        if prep is not None:
+            grid = prep.grid
+            params = _dc.replace(params, points=params.points[prep.perm])
+            band_widths, band_blocks = prep.widths
     n_ext_rows = params.ext_rot.shape[0]
     K = params.center.shape[0]
     cam_free = jnp.ones(6 * n_ext_rows + 6 * K, jnp.float32)
@@ -445,7 +541,10 @@ def measure_time_to_rmse(args) -> dict:
     import numpy as np
 
     options = SolverOptions(linear_solver="dense_schur", max_iterations=100)
-    g_step = make_grid_step(options, params, args.chunk_size, impl=args.impl)
+    g_step = make_grid_step(options, params, args.chunk_size, impl=args.impl,
+                            band_widths=band_widths,
+                            band_blocks=band_blocks,
+                            band_intr_frozen=True)
     block = 5
     hist_len = options.max_iterations + 1
 
@@ -466,7 +565,8 @@ def measure_time_to_rmse(args) -> dict:
         )
 
     n_live = float(jnp.sum(grid.mask))
-    state = init_grid_state(params, grid, options, impl=args.impl)
+    state = init_grid_state(params, grid, options, impl=args.impl,
+                            band_widths=band_widths, band_blocks=band_blocks)
     rmse0 = float(jnp.sqrt(2.0 * state.cost / n_live))
     hist = jnp.full((hist_len,), -1.0, state.cost.dtype).at[0].set(state.cost)
 
@@ -669,7 +769,10 @@ def ceres_equiv_baseline(args) -> float | None:
 # a 400k-4M-point problem costs 15+ min of CPU per row and duplicates what
 # the flagship row's cached vs_baseline / vs_ceres_equiv already anchor.
 MATRIX = [
-    ("grid sparse rig (flagship, pallas)", ["--engine", "grid"]),
+    ("grid sparse rig (flagship: occlusion-windowed, banded pallas)",
+     ["--engine", "grid"]),
+    ("grid sparse uniform-random (no-locality worst case, pallas)",
+     ["--engine", "grid", "--sparse-random", "--no-baseline"]),
     ("grid dense rig (pallas)",
      ["--engine", "grid", "--dense", "--no-baseline"]),
     ("grid dense rig (planes)",
@@ -834,6 +937,12 @@ def main(argv=None) -> int:
             detail["mfu_vs_f32_peak"] = round(result["mfu_vs_f32_peak"], 4)
     if result.get("v_local") is not None:
         detail["v_local"] = result["v_local"]
+    if result.get("band") is not None:
+        detail["band"] = result["band"]
+    if args.engine == "grid" and not args.dense:
+        detail["sparse_random"] = bool(args.sparse_random)
+        detail["occlusion_rings"] = (
+            None if args.sparse_random else args.occlusion_rings)
     if args.engine == "grid" and not args.dense:
         try:
             ce = ceres_equiv_baseline(args)

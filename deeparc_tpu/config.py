@@ -74,7 +74,13 @@ class PipelineOptions:
     # 'auto' = dense (points x cells) grid engine for shared-extrinsic rigs,
     # tile engine for non-shared (BAL-style) scenes — the two TPU-native
     # at-scale paths; 'grid' / 'indexed' / 'tiles' force one.
+    # 'grid-sharded' / 'tiles-sharded' run the SAME pipeline loop with the
+    # solves SPMD over a device mesh (parallel/sharded_{grid,tiles}.py) —
+    # hemisphere fit, freeze solve, and the solve/filter/snapshot rounds
+    # all drive the distributed solvers (SURVEY.md section 2.5).
     engine: str = "auto"
+    # mesh size for the *-sharded engines (None = all visible devices)
+    devices: int | None = None
     # kernel implementation inside the chosen engine. 'auto' = the fused
     # Pallas kernels on a real TPU backend (grid: impl='pallas', tiles:
     # impl='pallas'), the portable XLA paths elsewhere; or force

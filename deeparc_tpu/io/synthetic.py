@@ -242,6 +242,7 @@ def make_grid_rig_device(
     pixel_noise: float = 1.0,
     point_noise: float = 0.02,
     visibility: float = None,
+    occlusion_rings: int | None = None,
     seed: int = 0,
     dtype=None,
 ):
@@ -254,6 +255,15 @@ def make_grid_rig_device(
     (hundreds of MB of observations) are expensive to upload through a
     tunneled device, and because it exercises the exact compute path the
     solver uses.
+
+    ``occlusion_rings`` models SELF-OCCLUSION, the visibility structure
+    real turntable captures have: a surface point is only seen while the
+    turntable faces it toward the camera meridian, i.e. from a contiguous
+    CYCLIC window of ``occlusion_rings`` of the ``n_ring`` rotation steps
+    (all arcs inside the window, subject to in-image + ``visibility``
+    thinning). ``None`` keeps the uniform-over-all-cells visibility (the
+    no-locality worst case). Note ``visibility`` then thins INSIDE the
+    window: mean track ~= visibility * occlusion_rings * n_arc.
 
     Returns (params: BAParams, grid: GridIndex, gt_points (N, 3) jnp).
     """
@@ -337,6 +347,16 @@ def make_grid_rig_device(
             & (pred[..., 1] >= 0) & (pred[..., 1] < h)
         )
         mask = in_img.astype(dtype)
+        if occlusion_rings is not None:
+            # the point's object-frame azimuth (about the turntable's
+            # vertical axis); visible while the ring rotation brings it
+            # within +-half_w of facing the camera meridian
+            alpha = jnp.arctan2(direction[:, 0], direction[:, 2])
+            phis = (2.0 * jnp.pi / n_ring) * jnp.asarray(
+                np.tile(np.arange(n_ring), n_arc), dtype)
+            half_w = jnp.pi * occlusion_rings / n_ring
+            facing = jnp.cos(alpha[:, None] + phis[None, :] - jnp.pi)
+            mask = mask * (facing > jnp.cos(half_w)).astype(dtype)
         if visibility is not None:
             keep = jax.random.uniform(k3, mask.shape) < visibility
             mask = mask * keep.astype(dtype)
@@ -646,6 +666,34 @@ def make_tile_rig_device(
     return params, tiles, gt_points, cam_free
 
 
+def _bal_camera_tables(n_cameras, rho, focal, image_size, rng,
+                       order_by_azimuth):
+    """Host-side BAL camera tables: poses on a view sphere + intrinsics.
+
+    Shared by the device-side BAL generators. ``order_by_azimuth`` sorts
+    cameras along the sphere so consecutive ids are physically adjacent
+    (windowed co-visibility is then geometric)."""
+    ext_rot = np.zeros((n_cameras, 3))
+    ext_trans = np.zeros((n_cameras, 3))
+    dirs = rng.normal(size=(n_cameras, 3))
+    dirs[:, 1] = np.clip(dirs[:, 1], -0.9, 0.9)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    if order_by_azimuth:
+        dirs = dirs[np.argsort(np.arctan2(dirs[:, 2], dirs[:, 0]))]
+    for c in range(n_cameras):
+        R, t = _look_at(rho * dirs[c], np.zeros(3))
+        ext_rot[c] = _rotmat_to_aa(R)
+        ext_trans[c] = t
+    cx, cy = image_size[0] / 2.0, image_size[1] / 2.0
+    center = np.tile([cx, cy], (n_cameras, 1))
+    focal_arr = np.zeros((n_cameras, 2))
+    focal_arr[:, 0] = focal * (1.0 + 0.05 * rng.normal(size=n_cameras))
+    dist_arr = np.zeros((n_cameras, 2))
+    dist_arr[:, 0] = -0.02
+    dist_arr[:, 1] = 0.005
+    return ext_rot, ext_trans, center, focal_arr, dist_arr
+
+
 def make_bal_tile_device(
     n_cameras: int = 2000,
     n_points: int = 1_000_000,
@@ -694,28 +742,11 @@ def make_bal_tile_device(
     rng = np.random.default_rng(seed)
 
     # host: camera poses on the view sphere (tiny tables)
-    ext_rot = np.zeros((n_cameras, 3))
-    ext_trans = np.zeros((n_cameras, 3))
-    dirs = rng.normal(size=(n_cameras, 3))
-    dirs[:, 1] = np.clip(dirs[:, 1], -0.9, 0.9)
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     if window is not None:
         window = min(window, n_cameras)
-        # order cameras along the sphere so consecutive ids are physically
-        # adjacent — the windowed co-visibility below is then geometric
-        dirs = dirs[np.argsort(np.arctan2(dirs[:, 2], dirs[:, 0]))]
-    for c in range(n_cameras):
-        R, t = _look_at(rho * dirs[c], np.zeros(3))
-        ext_rot[c] = _rotmat_to_aa(R)
-        ext_trans[c] = t
-
-    cx, cy = image_size[0] / 2.0, image_size[1] / 2.0
-    center = np.tile([cx, cy], (n_cameras, 1))
-    focal_arr = np.zeros((n_cameras, 2))
-    focal_arr[:, 0] = focal * (1.0 + 0.05 * rng.normal(size=n_cameras))
-    dist_arr = np.zeros((n_cameras, 2))
-    dist_arr[:, 0] = -0.02
-    dist_arr[:, 1] = 0.005
+    ext_rot, ext_trans, center, focal_arr, dist_arr = _bal_camera_tables(
+        n_cameras, rho, focal, image_size, rng,
+        order_by_azimuth=window is not None)
 
     W = 1 << int(np.ceil(np.log2(max(track_length, 1))))
     rpc = rows_per_chunk(W, chunk_obs)
@@ -831,4 +862,187 @@ def make_bal_tile_device(
     import dataclasses as _dc
 
     params = _dc.replace(params_gt, points=init_points)
+    return params, tiles, gt_points, cam_free
+
+
+def make_bal_heavytail_device(
+    n_cameras: int = 2000,
+    n_points: int = 1_000_000,
+    mean_track: float = 8.0,
+    sigma: float = 0.8,
+    max_track: int = 512,
+    rho: float = 3.0,
+    object_radius: float = 1.0,
+    focal: float = 800.0,
+    image_size: tuple = (1024, 1024),
+    pixel_noise: float = 1.0,
+    point_noise: float = 0.02,
+    seed: int = 0,
+    chunk_obs: int = None,
+    dtype=None,
+    window: int = 128,
+):
+    """Device-side BAL problem with a HEAVY-TAILED track distribution.
+
+    Real venice/final-class BAL scenes do not have uniform track lengths:
+    track counts follow a roughly log-normal law from 2 up to hundreds
+    (one ``ParameterBlock`` per observation, any length —
+    ``src/ParameterBlock.hh:30-58``). This generator draws per-point track
+    lengths from a clipped log-normal with the given ``mean_track`` and
+    log-``sigma``, then lays points out in MULTIPLE width buckets
+    (W = next_pow2(track)), exactly the structure ``tiles_from_scene``
+    builds from real files — so the mixed fused/XLA per-bucket engine path
+    is exercised at scale, including W > MAX_KERNEL_WIDTH tail buckets.
+
+    Track locality: points with track <= ``window`` draw cameras from a
+    sliding window of ``window`` consecutive ids (chunk-exact locality
+    tables, like :func:`make_bal_tile_device`); wider tracks draw from a
+    window of 2*W (long tracks are genuinely seen from everywhere — those
+    buckets carry no locality blocking and use the global-table path).
+
+    Returns (params_t, tiles, gt_points, cam_free).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deeparc_tpu.scene import BAParams
+    from deeparc_tpu.solver.rig_grid import slot_params
+    from deeparc_tpu.solver.tiles import (
+        CHUNK_OBS, CellTable, TileBucket, TileIndex, pack_cells,
+        rows_per_chunk, _onehot, _project_chunk, _unpack,
+    )
+
+    dtype = dtype or jnp.float32
+    chunk_obs = chunk_obs or CHUNK_OBS
+    rng = np.random.default_rng(seed)
+    window = min(window, n_cameras)
+
+    ext_rot, ext_trans, center, focal_arr, dist_arr = _bal_camera_tables(
+        n_cameras, rho, focal, image_size, rng, order_by_azimuth=True)
+
+    # clipped log-normal track lengths with the requested mean
+    mu = np.log(mean_track) - 0.5 * sigma * sigma
+    track = np.clip(
+        np.rint(rng.lognormal(mu, sigma, size=n_points)).astype(np.int64),
+        2, min(max_track, n_cameras))
+    width = (1 << np.ceil(np.log2(track)).astype(np.int64)).clip(4)
+
+    identity = n_cameras
+    R_rows = n_cameras + 1
+    cam_ids = np.arange(n_cameras)
+    six = np.arange(6)
+    cols = np.concatenate(
+        [cam_ids[:, None] * 6 + six,
+         np.full((n_cameras, 1), identity) * 6 + six,
+         6 * R_rows + cam_ids[:, None] * 6 + six], axis=1).astype(np.int32)
+    cells = CellTable(
+        slot_outer=jnp.asarray(cam_ids, jnp.int32),
+        slot_inner=jnp.full((n_cameras,), identity, jnp.int32),
+        slot_intr=jnp.asarray(cam_ids, jnp.int32),
+        focal_shared=jnp.ones((n_cameras,), dtype),
+        dist_m1=jnp.ones((n_cameras,), dtype),
+        dist_m2=jnp.ones((n_cameras,), dtype),
+        cols=jnp.asarray(cols, jnp.int32),
+    )
+    C = 6 * R_rows + 6 * n_cameras
+    cam_free = jnp.ones((C,), dtype)
+
+    params_proto = BAParams(
+        points=jnp.zeros((1, 3), dtype),
+        ext_rot=jnp.asarray(
+            np.concatenate([ext_rot, np.zeros((1, 3))]), dtype),
+        ext_trans=jnp.asarray(
+            np.concatenate([ext_trans, np.zeros((1, 3))]), dtype),
+        center=jnp.asarray(center, dtype),
+        focal=jnp.asarray(focal_arr, dtype),
+        dist=jnp.asarray(dist_arr, dtype),
+    )
+    sp = slot_params(params_proto, cells)
+    packed = pack_cells(sp, cells, cam_free)
+
+    def synth_bucket(key, Nb_pad, W, win, tracks_b):
+        """One (Nb_pad, W) bucket, window win; tracks_b (Nb_pad,) live len."""
+        win_loc = win < n_cameras
+        n_ch = Nb_pad // rows_per_chunk(W, chunk_obs)
+        rpc = Nb_pad // n_ch
+        starts_np = (np.arange(n_ch) * max(n_cameras - win, 0)
+                     // max(n_ch - 1, 1)).astype(np.int32)
+        chunk_cells = (starts_np[:, None]
+                       + np.arange(win, dtype=np.int32)[None, :])
+        starts_dev = jnp.asarray(starts_np)
+        tr = jnp.asarray(tracks_b)
+
+        @jax.jit
+        def synth(key):
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            direction = jax.random.normal(k1, (Nb_pad, 3), dtype)
+            direction = direction / jnp.maximum(
+                jnp.linalg.norm(direction, axis=1, keepdims=True), 1e-9)
+            radii = object_radius * jnp.cbrt(
+                jax.random.uniform(k2, (Nb_pad, 1), dtype))
+            gt = direction * radii
+            cell = jax.random.randint(k3, (Nb_pad, W), 0, win, jnp.int32)
+            sort = jnp.sort(cell, axis=1)
+            dup = jnp.concatenate(
+                [jnp.zeros((Nb_pad, 1), bool), sort[:, 1:] == sort[:, :-1]],
+                axis=1)
+            local = (sort + jnp.cumsum(dup, axis=1)) % win
+            row_start = jnp.repeat(starts_dev, rpc)
+            cell_g = local + row_start[:, None]
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (Nb_pad, W), 1)
+                    < tr[:, None]).astype(dtype)
+
+            def chunk_fn(args):
+                pts, cl, msk, cc = args
+                oh = _onehot(cl.reshape(-1), win, dtype)
+                sl = jnp.dot(oh, packed[cc], preferred_element_type=dtype)
+                c = _unpack(sl, pts.shape[0], W)
+                zeros = jnp.zeros_like(msk)
+                return _project_chunk(pts, c, zeros, zeros, msk)["r"]
+
+            shaped = lambda a: a.reshape((n_ch, rpc) + a.shape[1:])
+            pred = jax.lax.map(
+                chunk_fn,
+                (shaped(gt), shaped(local), shaped(mask), chunk_cells),
+            ).reshape(Nb_pad, W, 2)
+            xy = pred + pixel_noise * jax.random.normal(k4, pred.shape,
+                                                        dtype)
+            xy = xy * mask[..., None]
+            init = gt + point_noise * jax.random.normal(k5, gt.shape, dtype)
+            return gt, init, xy[..., 0], xy[..., 1], mask, cell_g, local
+
+        gt, init, xy0, xy1, mask, cell_g, local = synth(key)
+        loc = ((local, jnp.asarray(chunk_cells)) if win_loc else ())
+        return gt, init, TileBucket(cell=cell_g, xy0=xy0, xy1=xy1, mask=mask,
+                                    loc=loc)
+
+    widths = sorted(int(w) for w in np.unique(width))
+    row_of_point = np.zeros(n_points, np.int64)
+    gt_parts, init_parts, buckets = [], [], []
+    offset = 0
+    key = jax.random.PRNGKey(seed)
+    for i, W in enumerate(widths):
+        members = np.nonzero(width == W)[0]
+        Nb = members.size
+        rpc = rows_per_chunk(W, chunk_obs)
+        Nb_pad = -(-Nb // rpc) * rpc
+        win = window if W <= window else min(2 * W, n_cameras)
+        tracks_b = np.zeros(Nb_pad, np.int64)
+        tracks_b[:Nb] = track[members]
+        gt, init, bucket = synth_bucket(
+            jax.random.fold_in(key, i), Nb_pad, W, win, tracks_b)
+        row_of_point[members] = offset + np.arange(Nb)
+        gt_parts.append(gt)
+        init_parts.append(init)
+        buckets.append(bucket)
+        offset += Nb_pad
+
+    tiles = TileIndex(
+        cells=cells, buckets=tuple(buckets),
+        row_of_point=jnp.asarray(row_of_point, jnp.int32),
+    )
+    import dataclasses as _dc
+
+    gt_points = jnp.concatenate(gt_parts)
+    params = _dc.replace(params_proto, points=jnp.concatenate(init_parts))
     return params, tiles, gt_points, cam_free

@@ -174,18 +174,20 @@ def _cost_kernel(sp_ref, pts_ref, xy0_ref, xy1_ref, mask_ref, cost_ref,
         cost_ref[0, 0] += val
 
 
-def _linearize_kernel(
-    sp_ref, oho_ref, ohi_ref, ohk_ref, pts_ref, xy0_ref, xy1_ref, mask_ref,
-    pout_ref, e_ref, ghs_ref, cost_ref,
-    *, loss, loss_scale, n_ext_rows, n_intr,
-):
-    dtype = xy0_ref.dtype
-    R, K = n_ext_rows, n_intr
-    col = lambda c: sp_ref[:, c:c + 1]                    # (Tp, 1)
-    X = [pts_ref[a:a + 1, :] for a in range(3)]           # (1, n)
-    pf = [pts_ref[3 + a:4 + a, :] for a in range(3)]
-    mask = mask_ref[:]
-    c = _chain(col, X, xy0_ref[:], xy1_ref[:], mask)
+def _slot_products(col, X, pf, xy0, xy1, mask, loss, loss_scale,
+                   intr_frozen=False):
+    """Shared derivative chain: residual + per-slot Jacobian plane products.
+
+    ``col(c)`` reads slot-table column c as a (rows, 1) plane; X/pf are the
+    (1, n) point / point-freeze rows. Returns (cost_val, r0, r1, jx_f, P):
+    loss-weighted residual planes, freeze-masked point-Jacobian planes
+    jx_f[k][b], and the freeze-masked camera-Jacobian planes P[k][j] — 18
+    of them, or only the 12 extrinsic ones when ``intr_frozen`` (the
+    intrinsic columns are zero anyway; the reference always freezes
+    intrinsics in BA, src/sfm.cc:60-62).
+    Identical math to ``rig_planes.linearize_planes`` (the closed form of
+    ``src/snavely_reprojection_error.hh:38-118``)."""
+    c = _chain(col, X, xy0, xy1, mask)
     p2, inv_z, u0, u1 = c["p2"], c["inv_z"], c["u0"], c["u1"]
     r2, dcoef = c["r2"], c["dcoef"]
     r0, r1 = c["r0"], c["r1"]
@@ -239,6 +241,17 @@ def _linearize_kernel(
         jx.append(jx_k)
         jti.append(B_k)
 
+    jx_f = [[jx[k][b] * pf[b] for b in range(3)] for k in range(2)]
+    if intr_frozen:
+        P = [
+            [jwo[k][b] * col(_FRO + b) for b in range(3)]
+            + [A[k][b] * col(_FRO + 3 + b) for b in range(3)]
+            + [jwi[k][b] * col(_FRI + b) for b in range(3)]
+            + [jti[k][b] * col(_FRI + 3 + b) for b in range(3)]
+            for k in range(2)
+        ]
+        return cost_val, r0, r1, jx_f, P
+
     # intrinsic columns [cx, cy, f0, f1, d0, d1]
     zero = jnp.zeros_like(wm)
     du0, du1 = dcoef * u0, dcoef * u1
@@ -251,8 +264,6 @@ def _linearize_kernel(
          col(_FY) * u1 * r2 * col(_M1) * wm,
          col(_FY) * u1 * r2 * r2 * col(_M2) * wm],
     ]
-
-    jx_f = [[jx[k][b] * pf[b] for b in range(3)] for k in range(2)]
     P = [
         [jwo[k][b] * col(_FRO + b) for b in range(3)]
         + [A[k][b] * col(_FRO + 3 + b) for b in range(3)]
@@ -261,6 +272,22 @@ def _linearize_kernel(
         + [jint[k][j] * col(_FRK + j) for j in range(6)]
         for k in range(2)
     ]
+    return cost_val, r0, r1, jx_f, P
+
+
+def _linearize_kernel(
+    sp_ref, oho_ref, ohi_ref, ohk_ref, pts_ref, xy0_ref, xy1_ref, mask_ref,
+    pout_ref, e_ref, ghs_ref, cost_ref,
+    *, loss, loss_scale, n_ext_rows, n_intr,
+):
+    dtype = xy0_ref.dtype
+    R, K = n_ext_rows, n_intr
+    col = lambda c: sp_ref[:, c:c + 1]                    # (Tp, 1)
+    X = [pts_ref[a:a + 1, :] for a in range(3)]           # (1, n)
+    pf = [pts_ref[3 + a:4 + a, :] for a in range(3)]
+    mask = mask_ref[:]
+    cost_val, r0, r1, jx_f, P = _slot_products(
+        col, X, pf, xy0_ref[:], xy1_ref[:], mask, loss, loss_scale)
 
     # ---- point side: sublane (cell-axis) reductions -> (1, n) rows
     rows = []
@@ -415,6 +442,357 @@ def linearize_grid(
     hcc_slots = ghs[:T, 18:].reshape(T, 18, 18)
     e_out = e_nat[:N].reshape(N, 3, Cn)
     return cost[0, 0], g_p, hpp, g_slots, hcc_slots, e_out
+
+
+# ---------------------------------------------------------------------------
+# Banded (live-window) kernels
+# ---------------------------------------------------------------------------
+# The monolithic kernels above pay for ALL T cells of every point tile —
+# at 5% visibility that is ~19x masked overcompute (the round-3 sparse
+# flagship burned slots, not observations). Real rig visibility is not
+# uniform: a surface point is seen from a CONTIGUOUS (cyclic) window of
+# turntable positions (self-occlusion), and real BAL graphs have the same
+# co-visibility locality. After solver/rig_band.py renumbers cells (RCM)
+# and sorts points by cyclic window center, each tile of block_np points
+# touches only a narrow band of w_band cells; these kernels run the exact
+# same slot algebra over just that band:
+#
+#   grid = (point_tile i, band_slab j); per-tile band starts come in as a
+#   scalar-prefetch array indexing 8-row slabs of the CYCLICALLY EXTENDED
+#   planes (rows t_pad..t_pad+w_band alias cells 0..w_band, so wrapped
+#   windows are contiguous; the caller folds the ghs extension rows back).
+#   pout/E blocks accumulate across j in VMEM (consecutive grid steps share
+#   the block); the (t_ext, 342) slot-Gram output stays VMEM-resident for
+#   the whole launch and takes slab adds at dynamic row offsets.
+#
+# The reference never pays for non-observations either (Ceres iterates real
+# residual blocks only, src/sfm.cc:36-48) — this is the grid engine's way
+# of not paying, while keeping every reduction dense and MXU/VPU-shaped.
+
+
+def _banded_linearize_kernel(
+    starts_ref, tbl_ref, oho_ref, ohi_ref, ohk_ref, pts_ref, pxm_ref,
+    pout_ref, e_ref, ghs_ref, cost_ref,
+    *, loss, loss_scale, w_band, intr_frozen,
+):
+    dtype = pxm_ref.dtype
+    i = pl.program_id(0)
+    row0 = starts_ref[i] * 8
+    sp_band = tbl_ref[pl.ds(row0, w_band), :]             # (w_band, SP_COLS)
+    col = lambda c: sp_band[:, c:c + 1]
+    X = [pts_ref[a:a + 1, :] for a in range(3)]           # (1, n)
+    pf = [pts_ref[3 + a:4 + a, :] for a in range(3)]
+    mask = pxm_ref[2]
+    cost_val, r0, r1, jx_f, P = _slot_products(
+        col, X, pf, pxm_ref[0], pxm_ref[1], mask, loss, loss_scale,
+        intr_frozen=intr_frozen)
+    n_p = len(P[0])                 # 18, or 12 with frozen intrinsics
+
+    # ---- point side: band-row reductions -> (1, n) rows ----
+    rows = []
+    for a in range(3):
+        rows.append(jnp.sum(jx_f[0][a] * r0 + jx_f[1][a] * r1, axis=0,
+                            keepdims=True))
+    hpp = {}
+    for a in range(3):
+        for b in range(a, 3):
+            hpp[a, b] = jnp.sum(
+                jx_f[0][a] * jx_f[0][b] + jx_f[1][a] * jx_f[1][b],
+                axis=0, keepdims=True)
+    for a in range(3):
+        for b in range(3):
+            rows.append(hpp[min(a, b), max(a, b)])
+    pout_ref[:] = jnp.concatenate(rows, axis=0)           # (12, n)
+
+    # ---- slot side: lane reductions into the resident extended ghs ----
+    ghs_cols = [
+        jnp.sum(P[0][a] * r0 + P[1][a] * r1, axis=1, keepdims=True)
+        for a in range(n_p)
+    ]
+    hcc = {}
+    for a in range(n_p):
+        for b in range(a, n_p):
+            hcc[a, b] = jnp.sum(
+                P[0][a] * P[0][b] + P[1][a] * P[1][b], axis=1, keepdims=True)
+    for a in range(n_p):
+        for b in range(n_p):
+            ghs_cols.append(hcc[min(a, b), max(a, b)])
+    ghs_val = jnp.concatenate(ghs_cols, axis=1)   # (w_band, n_p + n_p^2)
+
+    @pl.when(i == 0)
+    def _():
+        ghs_ref[:] = jnp.zeros_like(ghs_ref)
+        cost_ref[0, 0] = jnp.zeros((), dtype)
+
+    ghs_ref[pl.ds(row0, w_band), :] += ghs_val
+    cost_ref[0, 0] += cost_val
+
+    # ---- E: contractions over the band's cells (full-depth matmuls).
+    # Frozen intrinsics skip their 18 matmuls entirely (their E columns are
+    # zero — the reference always freezes intrinsics in BA, src/sfm.cc:60-62)
+    def dot_t(a, b):
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=dtype)
+
+    oho = oho_ref[pl.ds(row0, w_band), :]
+    ohi = ohi_ref[pl.ds(row0, w_band), :]
+    e_segs = []
+    for a in range(3):
+        for b in range(6):
+            w_out = jx_f[0][a] * P[0][b] + jx_f[1][a] * P[1][b]
+            w_in = jx_f[0][a] * P[0][6 + b] + jx_f[1][a] * P[1][6 + b]
+            e_segs.append(dot_t(w_out, oho) + dot_t(w_in, ohi))
+        if not intr_frozen:
+            ohk = ohk_ref[pl.ds(row0, w_band), :]
+            for b in range(6):
+                w_int = jx_f[0][a] * P[0][12 + b] + jx_f[1][a] * P[1][12 + b]
+                e_segs.append(dot_t(w_int, ohk))
+    # intr_frozen: the intrinsic E columns are omitted ENTIRELY (not just
+    # zeroed) — E shrinks to the 6R extrinsic columns, cutting its HBM
+    # write and every downstream Schur read/contraction by 6K/(6R+6K)
+    e_ref[:] = jnp.concatenate(e_segs, axis=1)        # (n, 3*Cn_e)
+
+
+def _extend_cyclic(x, w_band, axis=0):
+    """Append rows 0..w_band after the end so wrapped bands are contiguous."""
+    ext = jax.lax.slice_in_dim(x, 0, w_band, axis=axis)
+    return jnp.concatenate([x, ext], axis=axis)
+
+
+def banded_planes(grid, n_pad, ext_len):
+    """Stacked + cyclically-extended observation planes
+    (3, t_pad + ext_len, n_pad): [xy0; xy1; mask] transposed."""
+    t_pad = _round_up(grid.xy0.shape[1], 8)
+    stack = jnp.stack([
+        _pad_planes_t(grid.xy0, t_pad, n_pad),
+        _pad_planes_t(grid.xy1, t_pad, n_pad),
+        _pad_planes_t(grid.mask, t_pad, n_pad),
+    ])
+    return _extend_cyclic(stack, ext_len, axis=1)
+
+
+def gather_banded_planes(pxm_ext, starts, w_band, block_np):
+    """Pre-gather each point tile's live band into a DENSE stack
+    (3, w_band, n_pad): tile i's lane block holds rows
+    [starts[i]*8, starts[i]*8 + w_band) of the extended planes. The planes
+    are constant across LM iterations, so this one gather per solve buys a
+    banded kernel with the monolithic kernel's step structure (one grid
+    step per point tile — no per-slab overhead, no dynamic input DMAs)."""
+    _, t_ext, n_pad = pxm_ext.shape
+    n_tiles = n_pad // block_np
+    rows = starts[:, None] * 8 + jnp.arange(w_band, dtype=starts.dtype)
+    arr = pxm_ext.reshape(3, t_ext, n_tiles, block_np)
+    idx = rows.T[None, :, :, None]                 # (1, w_band, n_tiles, 1)
+    out = jnp.take_along_axis(arr, idx, axis=1)
+    return out.reshape(3, w_band, n_pad)
+
+
+def _banded_tables(sp, grid, free_outer, free_inner, free_intr, t_pad,
+                   w_band, dtype):
+    """Cyclically-extended slot table + one-hot bin matrices (all tiny;
+    VMEM-resident across the whole banded launch)."""
+    T = grid.onehot_outer.shape[0]
+    oh_pad = lambda oh: _extend_cyclic(
+        jnp.pad(oh, ((0, t_pad - T), (0, 0))).astype(dtype), w_band)
+    tbl = _extend_cyclic(
+        pack_slot_tables(sp, grid, free_outer, free_inner, free_intr, t_pad),
+        w_band)
+    return (tbl, oh_pad(grid.onehot_outer), oh_pad(grid.onehot_inner),
+            oh_pad(grid.onehot_intr))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w_band", "loss", "loss_scale", "block_np",
+                     "interpret", "vmem_limit_mb", "intr_frozen"),
+)
+def linearize_grid_banded(
+    points, point_free, sp, grid, free_outer, free_inner, free_intr, starts,
+    w_band, loss="trivial", loss_scale=0.5, block_np=256,
+    interpret=False, vmem_limit_mb=100, intr_frozen=False, pxm=None,
+):
+    """Fused linearization over per-tile cell bands (see section comment).
+
+    ``starts`` is the (n_pad / block_np,) int32 8-row-block start array
+    from :func:`deeparc_tpu.solver.rig_band.band_grid`; ``w_band`` the
+    static band width in cells (multiple of 8, <= t_pad); ``pxm`` the
+    pre-gathered :func:`gather_banded_planes` stack for THIS (starts,
+    w_band, block_np) — built once per solve since the observation planes
+    never change during LM (band_grid attaches it). ``intr_frozen=True``
+    writes zeros for the intrinsic E columns without computing them.
+    Returns the same quantities as :func:`linearize_grid` — identical math,
+    skipping cells outside each tile's band (which band_grid guarantees
+    are dead).
+    """
+    N, T = grid.xy0.shape
+    R = grid.onehot_outer.shape[1]
+    K = grid.onehot_intr.shape[1]
+    Cn = 6 * R if intr_frozen else 6 * (R + K)
+    dtype = points.dtype
+    t_pad = _round_up(T, 8)
+    assert w_band % 8 == 0 and w_band <= t_pad, (w_band, t_pad)
+    if pxm is None:
+        n_pad = _round_up(N, block_np)
+        pxm = gather_banded_planes(
+            banded_planes(grid, n_pad, w_band), starts, w_band, block_np)
+    else:
+        n_pad = pxm.shape[-1]
+        assert pxm.shape[1] == w_band, (pxm.shape, w_band)
+    n_tiles = n_pad // block_np
+    assert starts.shape[0] == n_tiles, (
+        "band start table was built for a different point-tile width",
+        starts.shape[0], n_tiles, block_np)
+    t_ext = t_pad + w_band
+
+    tbl, oho, ohi, ohk = _banded_tables(
+        sp, grid, free_outer, free_inner, free_intr, t_pad, w_band, dtype)
+    pts_pack = jnp.zeros((8, n_pad), dtype)
+    pts_pack = pts_pack.at[0:3, :N].set(points.T)
+    pts_pack = pts_pack.at[2, N:].set(1.0)   # z-safe padding points
+    pts_pack = pts_pack.at[3:6, :N].set(point_free.T.astype(dtype))
+
+    n_p = 12 if intr_frozen else 18
+    gw = n_p + n_p * n_p
+    kernel = functools.partial(
+        _banded_linearize_kernel, loss=loss, loss_scale=loss_scale,
+        w_band=w_band, intr_frozen=intr_frozen)
+    full = lambda shape: pl.BlockSpec(shape, lambda i, s: (0, 0),
+                                      memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            full((t_ext, SP_COLS)),
+            full((t_ext, R)),
+            full((t_ext, R)),
+            full((t_ext, K)),
+            pl.BlockSpec((8, block_np), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, w_band, block_np), lambda i, s: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((12, block_np), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_np, 3 * Cn), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_ext, gw), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+    )
+    pout, e_nat, ghs, cost = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((12, n_pad), dtype),
+            jax.ShapeDtypeStruct((n_pad, 3 * Cn), dtype),
+            jax.ShapeDtypeStruct((t_ext, gw), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
+        interpret=interpret,
+    )(starts, tbl, oho, ohi, ohk, pts_pack, pxm)
+
+    # fold the cyclic extension rows back onto their base cells
+    ghs = ghs[:t_pad].at[:w_band].add(ghs[t_pad:])
+    g_p = pout[0:3, :N].T
+    hpp = pout[3:12, :N].T.reshape(N, 3, 3)
+    if intr_frozen:
+        # embed the 12-wide extrinsic-only slot system into the 18-wide
+        # layout downstream consumes (intrinsic entries identically zero)
+        g_slots = jnp.zeros((T, 18), dtype).at[:, :12].set(ghs[:T, :12])
+        hcc_slots = jnp.zeros((T, 18, 18), dtype).at[:, :12, :12].set(
+            ghs[:T, 12:].reshape(T, 12, 12))
+    else:
+        g_slots = ghs[:T, :18]
+        hcc_slots = ghs[:T, 18:].reshape(T, 18, 18)
+    e_out = e_nat[:N].reshape(N, 3, Cn)
+    return cost[0, 0], g_p, hpp, g_slots, hcc_slots, e_out
+
+
+def _banded_cost_kernel(starts_ref, tbl_ref, pts_ref, pxm_ref, cost_ref,
+                        *, loss, loss_scale, w_band):
+    i = pl.program_id(0)
+    row0 = starts_ref[i] * 8
+    sp_band = tbl_ref[pl.ds(row0, w_band), :]
+    col = lambda c: sp_band[:, c:c + 1]
+    X = [pts_ref[a:a + 1, :] for a in range(3)]
+    mask = pxm_ref[2]
+    c = _chain(col, X, pxm_ref[0], pxm_ref[1], mask)
+    s = c["r0"] * c["r0"] + c["r1"] * c["r1"]
+    val = 0.5 * jnp.sum(_loss_rho(s, loss, loss_scale) * mask)
+
+    @pl.when(i == 0)
+    def _():
+        cost_ref[0, 0] = val
+
+    @pl.when(i != 0)
+    def _():
+        cost_ref[0, 0] += val
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w_band", "loss", "loss_scale", "block_np",
+                     "interpret"),
+)
+def cost_grid_banded(points, sp, grid, starts, w_band,
+                     loss="trivial", loss_scale=0.5, block_np=1024,
+                     interpret=False, pxm=None):
+    """Banded robustified half-SSE (the trial-cost pass over live bands).
+
+    ``starts``/``pxm`` must be the band table and pre-gathered plane stack
+    built for THIS ``block_np`` (the cost pass uses wider tiles than the
+    linearize; band_grid builds one of each)."""
+    N, T = grid.xy0.shape
+    dtype = points.dtype
+    t_pad = _round_up(T, 8)
+    assert w_band % 8 == 0 and w_band <= t_pad, (w_band, t_pad)
+    if pxm is None:
+        n_pad = _round_up(N, block_np)
+        pxm = gather_banded_planes(
+            banded_planes(grid, n_pad, w_band), starts, w_band, block_np)
+    else:
+        n_pad = pxm.shape[-1]
+        assert pxm.shape[1] == w_band, (pxm.shape, w_band)
+    n_tiles = n_pad // block_np
+    assert starts.shape[0] == n_tiles, (
+        "band start table was built for a different point-tile width",
+        starts.shape[0], n_tiles, block_np)
+    t_ext = t_pad + w_band
+
+    zeros6 = jnp.zeros((T, 6), dtype)
+    tbl, _, _, _ = _banded_tables(sp, grid, zeros6, zeros6, zeros6, t_pad,
+                                  w_band, dtype)
+    pts_pack = jnp.zeros((8, n_pad), dtype)
+    pts_pack = pts_pack.at[0:3, :N].set(points.T)
+    pts_pack = pts_pack.at[2, N:].set(1.0)
+
+    kernel = functools.partial(_banded_cost_kernel, loss=loss,
+                               loss_scale=loss_scale, w_band=w_band)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((t_ext, SP_COLS), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_np), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, w_band, block_np), lambda i, s: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+    cost = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+        interpret=interpret,
+    )(starts, tbl, pts_pack, pxm)
+    return cost[0, 0]
 
 
 @functools.partial(

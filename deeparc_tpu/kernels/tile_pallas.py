@@ -65,8 +65,12 @@ def pack_bucket_planes(j_x, j_cam, cell):
 
 def _sweep_kernel(cell_ref, jcam_ref, jx_ref, binv_ref, gp_ref, v_ref,
                   out_ref, ev_ref, *, mode, W, Vp):
-    """One tile: rows in lanes, slots unrolled as slab ops."""
-    dtype = jcam_ref.dtype
+    """One tile: rows in lanes, slots unrolled as slab ops.
+
+    jcam/jx planes may be stored bf16 (HBM-traffic halving — the sweeps
+    are the step's bandwidth hot spot); all arithmetic accumulates in the
+    f32 working dtype taken from binv."""
+    dtype = binv_ref.dtype
     block = cell_ref.shape[1]
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (Vp, block), 0)
 
@@ -79,11 +83,11 @@ def _sweep_kernel(cell_ref, jcam_ref, jx_ref, binv_ref, gp_ref, v_ref,
 
     def jcam_slab(w, k):
         base = w * 36 + k * 18
-        return jcam_ref[base: base + 18, :]            # (18, block)
+        return jcam_ref[base: base + 18, :].astype(dtype)   # (18, block)
 
     def jx_slab(w, k):
         base = w * 6 + k * 3
-        return jx_ref[base: base + 3, :]               # (3, block)
+        return jx_ref[base: base + 3, :].astype(dtype)      # (3, block)
 
     # ---- E v (matvec / edot modes) ----------------------------------------
     if mode in ("matvec", "edot"):
@@ -131,8 +135,9 @@ def _sweep_local_kernel(cell_ref, jcam_ref, jx_ref, binv_ref, gp_ref, v_ref,
     cell list (TileBucket.loc), so the per-slot MXU work drops by V/V_local
     versus the global kernel. ``v_ref`` is this chunk's pre-gathered local
     v table (18, Vl); ``out_ref`` the chunk's local bins (Vl, 18),
-    accumulated over the bpc lane-blocks of the chunk."""
-    dtype = jcam_ref.dtype
+    accumulated over the bpc lane-blocks of the chunk. jcam/jx may be
+    stored bf16 (traffic halving); accumulation stays in binv's f32."""
+    dtype = binv_ref.dtype
     block = cell_ref.shape[1]
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (Vl, block), 0)
 
@@ -145,11 +150,11 @@ def _sweep_local_kernel(cell_ref, jcam_ref, jx_ref, binv_ref, gp_ref, v_ref,
 
     def jcam_slab(w, k):
         base = w * 36 + k * 18
-        return jcam_ref[base: base + 18, :]
+        return jcam_ref[base: base + 18, :].astype(dtype)
 
     def jx_slab(w, k):
         base = w * 6 + k * 3
-        return jx_ref[base: base + 3, :]
+        return jx_ref[base: base + 3, :].astype(dtype)
 
     if mode in ("matvec", "edot"):
         ev = jnp.zeros((3, block), dtype)
@@ -206,7 +211,7 @@ def tile_sweep_local(cell_t, jcam_t, jx_t, binv_t, gp_t, v_locals,
     n_chunks, _, Vl = v_locals.shape
     assert Nb % n_chunks == 0
     B = Nb // n_chunks
-    dtype = jcam_t.dtype
+    dtype = binv_t.dtype
     # largest divisor of B not above the requested block (B is normally a
     # power of two, so this loop exits immediately; odd chunk_obs choices
     # must degrade the tile size, not crash mid-solve)
@@ -266,7 +271,7 @@ def tile_sweep(cell_t, jcam_t, jx_t, binv_t, gp_t, v_cells,
     """
     W, Nb = cell_t.shape
     V = v_cells.shape[0]
-    dtype = jcam_t.dtype
+    dtype = binv_t.dtype
     Vp = _round_up(V, 8)
     n_pad = _round_up(Nb, block_n)
     n_tiles = n_pad // block_n
@@ -488,16 +493,17 @@ def _linearize_local_kernel(
             for k in range(2)
         ]
 
-        # ---- plane outputs (already in sweep-kernel layout) ----
-        r_ref[2 * w:2 * w + 1, :] = r0
-        r_ref[2 * w + 1:2 * w + 2, :] = r1
+        # ---- plane outputs (already in sweep-kernel layout; possibly
+        # stored bf16 — the sweeps read these 31+ times per LM step) ----
+        r_ref[2 * w:2 * w + 1, :] = r0.astype(r_ref.dtype)
+        r_ref[2 * w + 1:2 * w + 2, :] = r1.astype(r_ref.dtype)
         for k in range(2):
             for i in range(3):
                 jx_ref[w * 6 + k * 3 + i: w * 6 + k * 3 + i + 1, :] = (
-                    jx_f[k][i])
+                    jx_f[k][i].astype(jx_ref.dtype))
             for j in range(18):
                 jcam_ref[w * 36 + k * 18 + j: w * 36 + k * 18 + j + 1, :] = (
-                    P[k][j])
+                    P[k][j].astype(jcam_ref.dtype))
 
         # ---- point side (within-row reduction == accumulate over w) ----
         for i in range(3):
@@ -543,17 +549,23 @@ def _linearize_local_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("loss", "loss_scale", "block_n", "interpret"),
+    static_argnames=("loss", "loss_scale", "block_n", "interpret",
+                     "plane_dtype"),
 )
 def tile_linearize_local(pts_pack, cell_t, xy0_t, xy1_t, mask_t, tables,
                          loss="trivial", loss_scale=0.5, block_n=256,
-                         interpret=False):
+                         interpret=False, plane_dtype=None):
     """Fused linearization over one locality-blocked bucket.
 
     ``pts_pack`` is (8, Nb): rows 0:3 points^T, 3:6 point-freeze^T (rows
     6:8 padding). ``cell_t`` carries LOCAL ids (W, Nb); ``tables`` the
     per-chunk packed cell tables (n_chunks, V_local, 78). Returns
     (cost, pout, r_t, jx_t, jcam_t, gc, hc) as documented above.
+
+    ``plane_dtype`` (e.g. ``jnp.bfloat16``) stores the r/jx/jcam plane
+    outputs in reduced precision — halves both this kernel's write traffic
+    and every downstream sweep's read traffic; the point/cell system
+    outputs (pout, gc, hc, cost) always stay in the working dtype.
     """
     W, Nb = cell_t.shape
     n_chunks, Vl, _ = tables.shape
@@ -597,9 +609,9 @@ def tile_linearize_local(pts_pack, cell_t, xy0_t, xy1_t, mask_t, tables,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((12, Nb), dtype),
-            jax.ShapeDtypeStruct((2 * W, Nb), dtype),
-            jax.ShapeDtypeStruct((6 * W, Nb), dtype),
-            jax.ShapeDtypeStruct((36 * W, Nb), dtype),
+            jax.ShapeDtypeStruct((2 * W, Nb), plane_dtype or dtype),
+            jax.ShapeDtypeStruct((6 * W, Nb), plane_dtype or dtype),
+            jax.ShapeDtypeStruct((36 * W, Nb), plane_dtype or dtype),
             jax.ShapeDtypeStruct((n_chunks, Vl, 18), dtype),
             jax.ShapeDtypeStruct((n_chunks, Vl, 171), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),

@@ -34,10 +34,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--linear-solver", default="dense_schur",
                    choices=["dense_schur", "iterative_schur"])
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "grid", "indexed", "tiles"],
+                   choices=["auto", "grid", "indexed", "tiles",
+                            "grid-sharded", "tiles-sharded"],
                    help="auto = dense grid engine for shared rigs, tile "
                         "engine for non-shared (BAL-style) scenes; indexed "
-                        "= the observation-list engine (small problems)")
+                        "= the observation-list engine (small problems); "
+                        "*-sharded = the same pipeline with every solve "
+                        "SPMD over the device mesh (--devices)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="mesh size for the *-sharded engines "
+                        "(default: all visible devices)")
     p.add_argument("--impl", default="auto",
                    choices=["auto", "pallas", "planes", "einsum", "xla"],
                    help="kernel implementation inside the engine (auto = "
@@ -129,6 +135,7 @@ def main(argv=None) -> int:
         write_snapshots=not args.no_snapshots,
         engine=args.engine,
         impl=args.impl,
+        devices=args.devices,
     )
     dtype = jnp.float32 if args.f32 else jnp.float64
     result = run_pipeline(

@@ -146,16 +146,27 @@ def run_pipeline(
     if output_dir and options.write_snapshots:
         _snapshot(scene, out(f"{basename}_init.ply"))
 
-    use_grid = options.engine == "grid" or (
+    use_grid = options.engine in ("grid", "grid-sharded") or (
         options.engine == "auto" and scene.meta.share_extrinsic
     )
     # non-shared scenes default to the tile engine — the at-scale BAL path
     # (the reference drives them through the same loop, src/sfm.cc:77-131,
     # with the non-shared wiring of src/ParameterBlock.hh:52-55)
     use_tiles = not use_grid and (
-        options.engine == "tiles" or options.engine == "auto"
+        options.engine in ("tiles", "tiles-sharded")
+        or options.engine == "auto"
     )
     on_tpu = jax.default_backend() == "tpu"
+    # *-sharded engines: the SAME loop, solves SPMD over the mesh — the
+    # reference's whole value is the loop (src/sfm.cc:118-127), so at scale
+    # the loop itself must be distributed, not just one solve
+    mesh = None
+    if options.engine in ("grid-sharded", "tiles-sharded"):
+        from deeparc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(options.devices)
+        log(f"[deeparc] mesh: {mesh.devices.size} devices "
+            f"({mesh.axis_names})")
     if use_grid:
         from deeparc_tpu.pipeline.filtering import FilterStats, filter_masks_grid
         from deeparc_tpu.solver.rig_grid import grid_from_scene, solve_ba_grid
@@ -170,7 +181,18 @@ def run_pipeline(
             f"{float(jnp.mean(grid.mask)) * 100:.1f}% grid density, "
             f"impl={grid_impl})")
 
+        if mesh is not None and grid_impl == "pallas":
+            grid_impl = "planes"   # sharded grid path runs the XLA planes
+
         def run_solve(free):
+            if mesh is not None:
+                from deeparc_tpu.parallel.sharded_grid import (
+                    solve_ba_grid_sharded,
+                )
+
+                return solve_ba_grid_sharded(
+                    scene.params, grid, free, options.solver, mesh=mesh,
+                    impl=grid_impl)
             res = solve_ba_grid(scene.params, grid, free, options.solver,
                                 impl=grid_impl)
             return res
@@ -251,6 +273,14 @@ def run_pipeline(
         params_rows = params_t
 
         def run_solve(tiles_cur, params_cur, cam_free, free_rows):
+            if mesh is not None:
+                from deeparc_tpu.parallel.sharded_tiles import (
+                    solve_ba_tiles_sharded,
+                )
+
+                return solve_ba_tiles_sharded(
+                    params_cur, tiles_cur, free_rows, cam_free,
+                    options.solver, mesh=mesh)
             return solve_tiles_prepared(
                 params_cur, tiles_cur, free_rows, cam_free, options.solver,
                 impl=tile_impl, unpermute=False, _cache=solve_cache,

@@ -71,6 +71,9 @@ class GridIndex(NamedTuple):
     focal_shared: jnp.ndarray  # (T,)
     dist_m1: jnp.ndarray       # (T,)
     dist_m2: jnp.ndarray       # (T,)
+    # optional live-band tables from solver/rig_band.band_grid:
+    # (starts_lin (n_tiles,), starts_cost (n_cost_tiles,)) int32 slab starts
+    band: tuple = ()
 
 
 def grid_from_scene(scene: Scene, dtype=None) -> GridIndex:
@@ -341,6 +344,9 @@ def assemble_grid_system(
     loss: str = "trivial",
     loss_scale: float = 0.5,
     impl: str = "planes",
+    band_width: int = 0,
+    band_block: int = 0,
+    band_intr_frozen: bool = False,
 ) -> GridSystem:
     """Linearize + accumulate normal-equation pieces, chunked over points.
 
@@ -373,14 +379,26 @@ def assemble_grid_system(
     free_intr = cam_free_intr[grid.slot_intr]
 
     if impl == "pallas":
-        from deeparc_tpu.kernels.rig_pallas import linearize_grid
-
-        cost, g_p, hpp, g_slots, hcc_slots, E_nat = linearize_grid(
-            points, point_free, sp, grid, free_outer, free_inner, free_intr,
-            loss=loss, loss_scale=loss_scale,
-            block_np=min(chunk_size, 256),
-            interpret=jax.default_backend() != "tpu",
+        from deeparc_tpu.kernels.rig_pallas import (
+            linearize_grid, linearize_grid_banded,
         )
+
+        interpret = jax.default_backend() != "tpu"
+        if band_width and grid.band:
+            cost, g_p, hpp, g_slots, hcc_slots, E_nat = linearize_grid_banded(
+                points, point_free, sp, grid, free_outer, free_inner,
+                free_intr, grid.band[0], w_band=band_width,
+                loss=loss, loss_scale=loss_scale,
+                block_np=band_block or min(chunk_size, 256),
+                interpret=interpret, intr_frozen=band_intr_frozen,
+                pxm=grid.band[2] if len(grid.band) > 2 else None,
+            )
+        else:
+            cost, g_p, hpp, g_slots, hcc_slots, E_nat = linearize_grid(
+                points, point_free, sp, grid, free_outer, free_inner,
+                free_intr, loss=loss, loss_scale=loss_scale,
+                block_np=min(chunk_size, 256), interpret=interpret,
+            )
         g_c, hcc = _bin_slot_system(g_slots, hcc_slots, grid, C, dtype)
         return GridSystem(cost=cost, g_p=g_p, hpp=hpp, g_c=g_c, hcc=hcc,
                           E=E_nat)
@@ -482,15 +500,28 @@ def grid_cost(
     chunk_size: int = 16384,
     loss: str = "trivial", loss_scale: float = 0.5,
     impl: str = "planes",
+    band_width: int = 0,
+    band_block: int = 0,
 ) -> jnp.ndarray:
     """Residual-only (robustified) cost pass (trial evaluation), chunked."""
     if impl == "pallas":
-        from deeparc_tpu.kernels.rig_pallas import cost_grid as pallas_cost
+        from deeparc_tpu.kernels.rig_pallas import (
+            cost_grid as pallas_cost, cost_grid_banded,
+        )
 
+        interpret = jax.default_backend() != "tpu"
+        if band_width and grid.band:
+            return cost_grid_banded(
+                points, sp, grid, grid.band[1], w_band=band_width,
+                loss=loss, loss_scale=loss_scale,
+                block_np=band_block or min(chunk_size, 1024),
+                interpret=interpret,
+                pxm=grid.band[3] if len(grid.band) > 3 else None,
+            )
         return pallas_cost(
             points, sp, grid, loss=loss, loss_scale=loss_scale,
             block_np=min(chunk_size, 1024),
-            interpret=jax.default_backend() != "tpu",
+            interpret=interpret,
         )
     N = points.shape[0]
     T = grid.mask.shape[1]
@@ -555,7 +586,10 @@ def _params_from(cam_vec: jnp.ndarray, points: jnp.ndarray,
 
 def make_grid_step(options: SolverOptions, template: BAParams,
                    chunk_size: int = 8192, impl: str = "planes",
-                   axis: str | None = None):
+                   axis: str | None = None,
+                   band_widths: tuple = (0, 0),
+                   band_blocks: tuple = (0, 0),
+                   band_intr_frozen: bool = False):
     """Pure LM step over the grid layout:
     step(state, grid, cam_free, point_free) -> (state, info).
 
@@ -564,7 +598,13 @@ def make_grid_step(options: SolverOptions, template: BAParams,
     cross-point reduction is a ``psum``/``pmax`` over the axis — the reduced
     camera system, trial cost, and trust-region scalars come out replicated,
     so the identical step function serves both the single-chip and the
-    distributed grid engine (SURVEY.md section 2.5)."""
+    distributed grid engine (SURVEY.md section 2.5).
+
+    ``band_widths`` = (linearize, cost) static live-band widths from
+    solver/rig_band.band_grid (pallas impl only; (0, 0) = monolithic
+    kernels), ``band_blocks`` the point-tile widths the two start tables
+    were built for. The grid passed to the step must then carry the
+    matching ``band`` start tables."""
     from deeparc_tpu.solver.ba import StepInfo
 
     if axis is None:
@@ -573,31 +613,55 @@ def make_grid_step(options: SolverOptions, template: BAParams,
         allsum = lambda x: jax.lax.psum(x, axis)
         allmax = lambda x: jax.lax.pmax(x, axis)
 
+    # banded pallas with frozen intrinsics: E comes back EXT-ONLY (N,3,6R)
+    # — the intrinsic columns are identically zero and never materialized
+    ext_only = impl == "pallas" and band_intr_frozen and band_widths[0] > 0
+
     def _e_perms(grid: GridIndex):
         """Permutations between the pallas kernel's native E column order
         and the flat camera-vector order (identity for other impls). Only
-        C-sized quantities are ever permuted — never E."""
+        C-sized quantities are ever permuted — never E. Returns
+        (native_of_flat, flat_of_native, ext_cols) with ext_cols = 6R when
+        E is ext-only (0 otherwise)."""
         if impl != "pallas":
-            return None, None
+            return None, None, 0
         from deeparc_tpu.kernels.rig_pallas import (
             flat_of_native, native_of_flat,
         )
 
         R_rows = grid.onehot_outer.shape[1]
         K = grid.onehot_intr.shape[1]
+        if ext_only:
+            return (jnp.asarray(native_of_flat(R_rows, 0)),
+                    jnp.asarray(flat_of_native(R_rows, 0)), 6 * R_rows)
         return (jnp.asarray(native_of_flat(R_rows, K)),
-                jnp.asarray(flat_of_native(R_rows, K)))
+                jnp.asarray(flat_of_native(R_rows, K)), 0)
 
     def step(state: GridState, grid: GridIndex, cam_free, point_free):
-        n2f, f2n = _e_perms(grid)
-        to_flat = (lambda v: v) if n2f is None else (
-            lambda v: v[n2f] if v.ndim == 1 else v[n2f][:, n2f])
-        to_nat = (lambda v: v) if f2n is None else (lambda v: v[f2n])
+        n2f, f2n, ce = _e_perms(grid)
+        C_full = 6 * (grid.onehot_outer.shape[1] + grid.onehot_intr.shape[1])
+        if n2f is None:
+            to_flat = to_nat = lambda v: v
+        elif ce:
+            # ext rows occupy the FIRST 6R flat columns (flatten_camera
+            # layout) — embed the ext-only pieces there, zeros elsewhere
+            def to_flat(v):
+                if v.ndim == 1:
+                    return jnp.zeros((C_full,), v.dtype).at[:ce].set(v[n2f])
+                return jnp.zeros((C_full, C_full), v.dtype).at[
+                    :ce, :ce].set(v[n2f][:, n2f])
+
+            to_nat = lambda v: v[:ce][f2n]
+        else:
+            to_flat = lambda v: v[n2f] if v.ndim == 1 else v[n2f][:, n2f]
+            to_nat = lambda v: v[f2n]
         params = _params_from(state.cam_vec, state.points, template)
         sp = slot_params(params, grid)
         sys = assemble_grid_system(
             state.points, sp, grid, cam_free, point_free, chunk_size,
             options.loss, options.loss_scale, impl=impl,
+            band_width=band_widths[0], band_block=band_blocks[0],
+            band_intr_frozen=band_intr_frozen,
         )
         sys = sys._replace(g_c=allsum(sys.g_c), hcc=allsum(sys.hcc),
                            cost=allsum(sys.cost))
@@ -647,6 +711,7 @@ def make_grid_step(options: SolverOptions, template: BAParams,
         new_cost = allsum(grid_cost(
             new_points, slot_params(trial_params, grid), grid,
             loss=options.loss, loss_scale=options.loss_scale, impl=impl,
+            band_width=band_widths[1], band_block=band_blocks[1],
         ))
 
         rho = (state.cost - new_cost) / jnp.maximum(mcc, 1e-300)
@@ -700,6 +765,7 @@ def make_grid_step(options: SolverOptions, template: BAParams,
 def init_grid_state(
     params: BAParams, grid: GridIndex, options: SolverOptions,
     axis: str | None = None, impl: str = "planes",
+    band_widths: tuple = (0, 0), band_blocks: tuple = (0, 0),
 ) -> GridState:
     """``impl`` must match the evaluator the solve runs with: state.cost and
     every trial cost have to come from the SAME (f32-rounding) kernel, or a
@@ -708,7 +774,8 @@ def init_grid_state(
     sp = slot_params(params, grid)
     cost0 = grid_cost(params.points, sp, grid,
                       loss=options.loss, loss_scale=options.loss_scale,
-                      impl=impl)
+                      impl=impl, band_width=band_widths[1],
+                      band_block=band_blocks[1])
     if axis is not None:
         cost0 = jax.lax.psum(cost0, axis)
     return GridState(

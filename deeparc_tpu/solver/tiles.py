@@ -655,6 +655,52 @@ def flat_to_cells(v: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     return v[cols]
 
 
+def _linearize_bucket_xla(pts_b, pf_b, b, packed, V, chunk_obs, loss,
+                          loss_scale, bin_cam):
+    """XLA chunk-path linearization of ONE bucket. Returns
+    (cost, BucketBlocks, g_p (Nb,3), hpp (Nb,3,3), gc_c, hc_c,
+    chunk_tables) — gc_c/hc_c per-chunk local bins when loc'd, else summed
+    global bins (chunk_tables None)."""
+    dtype = pts_b.dtype
+    Nb, W = b.cell.shape
+    B, Vl, plane, chunk_tables = _bucket_blocking(b, chunk_obs, V)
+
+    def chunk_fn(args, B=B, W=W, Vl=Vl, local=chunk_tables is not None):
+        pts, pf, cell, xy0, xy1, msk = args[:6]
+        oh = _onehot(cell.reshape(-1), Vl, dtype)         # (B*W, Vl)
+        table = packed[args[6]] if local else packed
+        sl = jnp.dot(oh, table, preferred_element_type=dtype)
+        c = _unpack(sl, B, W)
+        cost, r, j_x, j_cam, g_p, hpp = _linearize_chunk(
+            pts, c, xy0, xy1, msk, pf, loss, loss_scale)
+        if not bin_cam:
+            z = jnp.zeros((), dtype)
+            return cost, r, j_x, j_cam, g_p, hpp, z, z
+        # camera-side binning shares the chunk's one-hot; the 18x18
+        # Gram is symmetric, so only its 171 upper-triangle entries are
+        # binned (the matmul is the dominant linearize cost)
+        g18 = jnp.einsum("bwkc,bwk->bwc", j_cam, r).reshape(B * W, 18)
+        gc = jnp.dot(oh.T, g18, preferred_element_type=dtype)
+        h18 = _sym_pack(jnp.einsum("bwki,bwkj->bwij", j_cam, j_cam))
+        hc = jnp.dot(
+            oh.T, h18.reshape(B * W, 171), preferred_element_type=dtype)
+        return cost, r, j_x, j_cam, g_p, hpp, gc, hc
+
+    map_args = [_chunks(pts_b, B), _chunks(pf_b, B), _chunks(plane, B),
+                _chunks(b.xy0, B), _chunks(b.xy1, B), _chunks(b.mask, B)]
+    if chunk_tables is not None:
+        map_args.append(chunk_tables)
+    out = jax.lax.map(chunk_fn, tuple(map_args))
+    cost_c, r_c, jx_c, jcam_c, gp_c, hpp_c, gc_c, hc_c = out
+    blocks = BucketBlocks(
+        r=r_c.reshape(Nb, W, 2),
+        j_x=jx_c.reshape(Nb, W, 2, 3),
+        j_cam=jcam_c.reshape(Nb, W, 2, 18),
+    )
+    return (jnp.sum(cost_c), blocks, gp_c.reshape(Nb, 3),
+            hpp_c.reshape(Nb, 3, 3), gc_c, hc_c, chunk_tables)
+
+
 def linearize_tiles(
     points_t: jnp.ndarray,
     packed: jnp.ndarray,
@@ -666,7 +712,7 @@ def linearize_tiles(
     loss_scale: float = 0.5,
     bin_cam: bool = True,
 ) -> TileSystem:
-    """One full linearization over all buckets.
+    """One full linearization over all buckets (XLA chunk path).
 
     ``bin_cam=False`` skips the in-chunk one-hot camera binning (g_c /
     hcc_cells / hcc_diag are returned as zeros); impl='dual' bins them
@@ -688,45 +734,15 @@ def linearize_tiles(
     offset = 0
     for b in tiles.buckets:
         Nb, W = b.cell.shape
-        B, Vl, plane, chunk_tables = _bucket_blocking(b, chunk_obs, V)
         pts_b = points_t[offset: offset + Nb]
         pf_b = point_free_t[offset: offset + Nb]
-
-        def chunk_fn(args, B=B, W=W, Vl=Vl, local=chunk_tables is not None):
-            pts, pf, cell, xy0, xy1, msk = args[:6]
-            oh = _onehot(cell.reshape(-1), Vl, dtype)         # (B*W, Vl)
-            table = packed[args[6]] if local else packed
-            sl = jnp.dot(oh, table, preferred_element_type=dtype)
-            c = _unpack(sl, B, W)
-            cost, r, j_x, j_cam, g_p, hpp = _linearize_chunk(
-                pts, c, xy0, xy1, msk, pf, loss, loss_scale)
-            if not bin_cam:
-                z = jnp.zeros((), dtype)
-                return cost, r, j_x, j_cam, g_p, hpp, z, z
-            # camera-side binning shares the chunk's one-hot; the 18x18
-            # Gram is symmetric, so only its 171 upper-triangle entries are
-            # binned (the matmul is the dominant linearize cost)
-            g18 = jnp.einsum("bwkc,bwk->bwc", j_cam, r).reshape(B * W, 18)
-            gc = jnp.dot(oh.T, g18, preferred_element_type=dtype)
-            h18 = _sym_pack(jnp.einsum("bwki,bwkj->bwij", j_cam, j_cam))
-            hc = jnp.dot(
-                oh.T, h18.reshape(B * W, 171), preferred_element_type=dtype)
-            return cost, r, j_x, j_cam, g_p, hpp, gc, hc
-
-        map_args = [_chunks(pts_b, B), _chunks(pf_b, B), _chunks(plane, B),
-                    _chunks(b.xy0, B), _chunks(b.xy1, B), _chunks(b.mask, B)]
-        if chunk_tables is not None:
-            map_args.append(chunk_tables)
-        out = jax.lax.map(chunk_fn, tuple(map_args))
-        cost_c, r_c, jx_c, jcam_c, gp_c, hpp_c, gc_c, hc_c = out
-        cost_total = cost_total + jnp.sum(cost_c)
-        g_p_parts.append(gp_c.reshape(Nb, 3))
-        hpp_parts.append(hpp_c.reshape(Nb, 3, 3))
-        blocks.append(BucketBlocks(
-            r=r_c.reshape(Nb, W, 2),
-            j_x=jx_c.reshape(Nb, W, 2, 3),
-            j_cam=jcam_c.reshape(Nb, W, 2, 18),
-        ))
+        cost_b, blk, gp_b, hpp_b, gc_c, hc_c, chunk_tables = (
+            _linearize_bucket_xla(pts_b, pf_b, b, packed, V, chunk_obs,
+                                  loss, loss_scale, bin_cam))
+        cost_total = cost_total + cost_b
+        g_p_parts.append(gp_b)
+        hpp_parts.append(hpp_b)
+        blocks.append(blk)
         if bin_cam and chunk_tables is not None:
             flat_ids = chunk_tables.reshape(-1)
             g_cells = g_cells.at[flat_ids].add(gc_c.reshape(-1, 18))
@@ -754,34 +770,48 @@ def linearize_tiles(
     )
 
 
-def fused_linearize_ok(tiles: TileIndex) -> bool:
-    """True when every bucket carries locality blocking narrow enough for
+def bucket_fused_ok(b: TileBucket) -> bool:
+    """True when this bucket carries locality blocking narrow enough for
     the fused Pallas linearize kernel (kernels/tile_pallas.py)."""
     from deeparc_tpu.kernels.tile_pallas import MAX_LIN_WIDTH
 
+    return bool(b.loc) and b.cell.shape[1] <= MAX_LIN_WIDTH
+
+
+def fused_linearize_ok(tiles: TileIndex) -> bool:
+    """True when EVERY bucket can run the fused Pallas linearize. The step
+    no longer requires this — :func:`linearize_tiles_mixed` dispatches per
+    bucket — but it remains the condition for the planes-only fast path."""
     return bool(tiles.buckets) and all(
-        b.loc and b.cell.shape[1] <= MAX_LIN_WIDTH for b in tiles.buckets)
+        bucket_fused_ok(b) for b in tiles.buckets)
 
 
-def linearize_tiles_fused(
+def linearize_tiles_mixed(
     points_t: jnp.ndarray,
     packed: jnp.ndarray,
     tiles: TileIndex,
     point_free_t: jnp.ndarray,
     C: int,
+    chunk_obs: int = CHUNK_OBS,
     loss: str = "trivial",
     loss_scale: float = 0.5,
     interpret: bool = False,
+    plane_dtype=None,
 ):
-    """Full linearization through the fused Pallas kernel (loc'd buckets).
+    """PER-BUCKET fused-Pallas / XLA linearization.
 
-    Returns ``(sys, planes)``: ``sys`` is a :class:`TileSystem` with
-    ``blocks=()`` (the per-slot residual/Jacobian data lives in ``planes``
-    instead — already in the transposed layout the sweep kernels consume:
-    one ``(cell_t, jcam_t, jx_t, r_t)`` tuple per bucket). Requires
-    :func:`fused_linearize_ok`. ~20x the XLA ``linearize_tiles`` on the
-    v5e at BAL scale (the einsum path's 2/3/18 trailing dims waste the
-    vector lanes; see kernels/tile_pallas.py).
+    Real track distributions are heavy-tailed (any length, one
+    ``ParameterBlock`` per observation — ``src/ParameterBlock.hh:30-58``),
+    so a scene yields several width buckets and one wide bucket must not
+    knock the whole scene off the fast path: buckets with narrow locality
+    blocking (:func:`bucket_fused_ok`) run the fused VMEM kernel (~20x the
+    XLA path on the v5e) and emit transposed sweep planes; the rest — wide
+    or non-loc'd buckets, typically a small observation fraction — run the
+    XLA chunk path and keep :class:`BucketBlocks`.
+
+    Returns ``(sys, planes)`` with entries aligned per bucket:
+    ``planes[i]`` is None for XLA buckets, ``sys.blocks[i]`` is None for
+    fused buckets.
     """
     from deeparc_tpu.kernels.tile_pallas import tile_linearize_local
 
@@ -790,30 +820,47 @@ def linearize_tiles_fused(
     cols = tiles.cells.cols
 
     cost_total = jnp.zeros((), dtype)
-    g_p_parts, hpp_parts, planes = [], [], []
+    g_p_parts, hpp_parts, planes, blocks = [], [], [], []
     g_cells = jnp.zeros((V, 18), dtype)
     hcc_packed = jnp.zeros((V, 171), dtype)
 
     offset = 0
     for b in tiles.buckets:
         Nb, W = b.cell.shape
-        local, chunk_cells = b.loc
-        tables = packed[chunk_cells]                 # (n_chunks, Vl, 78)
         pts_b = points_t[offset: offset + Nb]
         pf_b = point_free_t[offset: offset + Nb]
-        pts_pack = jnp.concatenate(
-            [pts_b.T, pf_b.T.astype(dtype), jnp.zeros((2, Nb), dtype)],
-            axis=0)
-        cost, pout, r_t, jx_t, jcam_t, gc, hc = tile_linearize_local(
-            pts_pack, local.T, b.xy0.T, b.xy1.T, b.mask.T, tables,
-            loss=loss, loss_scale=loss_scale, interpret=interpret)
+        if bucket_fused_ok(b):
+            local, chunk_cells = b.loc
+            tables = packed[chunk_cells]             # (n_chunks, Vl, 78)
+            pts_pack = jnp.concatenate(
+                [pts_b.T, pf_b.T.astype(dtype), jnp.zeros((2, Nb), dtype)],
+                axis=0)
+            cost, pout, r_t, jx_t, jcam_t, gc, hc = tile_linearize_local(
+                pts_pack, local.T, b.xy0.T, b.xy1.T, b.mask.T, tables,
+                loss=loss, loss_scale=loss_scale, interpret=interpret,
+                plane_dtype=plane_dtype)
+            g_p_parts.append(pout[0:3].T)
+            hpp_parts.append(pout[3:12].T.reshape(Nb, 3, 3))
+            flat_ids = chunk_cells.reshape(-1)
+            planes.append((local.T, jcam_t, jx_t, r_t))
+            blocks.append(None)
+        else:
+            cost, blk, gp_b, hpp_b, gc, hc, chunk_tables = (
+                _linearize_bucket_xla(pts_b, pf_b, b, packed, V, chunk_obs,
+                                      loss, loss_scale, True))
+            g_p_parts.append(gp_b)
+            hpp_parts.append(hpp_b)
+            flat_ids = (chunk_tables.reshape(-1)
+                        if chunk_tables is not None else None)
+            planes.append(None)
+            blocks.append(blk)
         cost_total = cost_total + cost
-        g_p_parts.append(pout[0:3].T)
-        hpp_parts.append(pout[3:12].T.reshape(Nb, 3, 3))
-        flat_ids = chunk_cells.reshape(-1)
-        g_cells = g_cells.at[flat_ids].add(gc.reshape(-1, 18))
-        hcc_packed = hcc_packed.at[flat_ids].add(hc.reshape(-1, 171))
-        planes.append((local.T, jcam_t, jx_t, r_t))
+        if flat_ids is not None:
+            g_cells = g_cells.at[flat_ids].add(gc.reshape(-1, 18))
+            hcc_packed = hcc_packed.at[flat_ids].add(hc.reshape(-1, 171))
+        else:
+            g_cells = g_cells + jnp.sum(gc, axis=0)
+            hcc_packed = hcc_packed + jnp.sum(hc, axis=0)
         offset += Nb
 
     tail = points_t.shape[0] - offset
@@ -830,9 +877,31 @@ def linearize_tiles_fused(
         hcc_cells=hcc_cells,
         hcc_diag=cells_to_flat(
             jnp.diagonal(hcc_cells, axis1=-2, axis2=-1), cols, C),
-        blocks=(),
+        blocks=tuple(blocks),
     )
     return sys, tuple(planes)
+
+
+def linearize_tiles_fused(
+    points_t: jnp.ndarray,
+    packed: jnp.ndarray,
+    tiles: TileIndex,
+    point_free_t: jnp.ndarray,
+    C: int,
+    loss: str = "trivial",
+    loss_scale: float = 0.5,
+    interpret: bool = False,
+    plane_dtype=None,
+):
+    """All-fused linearization (every bucket loc'd and narrow). Thin
+    wrapper over :func:`linearize_tiles_mixed` that strips the per-bucket
+    None blocks; requires :func:`fused_linearize_ok`."""
+    assert fused_linearize_ok(tiles)
+    sys, planes = linearize_tiles_mixed(
+        points_t, packed, tiles, point_free_t, C,
+        loss=loss, loss_scale=loss_scale, interpret=interpret,
+        plane_dtype=plane_dtype)
+    return sys._replace(blocks=()), planes
 
 
 def tile_cost(
@@ -1158,7 +1227,8 @@ def _block_jacobi(sys: TileSystem, cells: CellTable, cam_aug, cam_free,
 
 def make_tile_step(options: SolverOptions, template: BAParams,
                    chunk_obs: int = CHUNK_OBS, axis: str | None = None,
-                   impl: str = "xla"):
+                   impl: str = "xla", sweep_dtype=None,
+                   sweep_block_n: int = 256):
     """Pure LM step over the tile layout:
     step(state, tiles, cam_free, point_free_t) -> (state, info).
 
@@ -1177,6 +1247,15 @@ def make_tile_step(options: SolverOptions, template: BAParams,
     dual layout: requires ``with_cam_layout(tiles)``; sweeps and camera
     binning carry no one-hot matmuls at all (see the dual-layout section
     above). Single-device only for now (incompatible with ``axis``).
+
+    ``sweep_dtype`` (pallas impl; e.g. ``jnp.bfloat16``) stores the
+    per-slot Jacobian planes the PCG sweeps read 31+ times per step in
+    reduced precision — the sweeps are the step's HBM hot spot (~1.15 GB
+    of jcam reads each at BAL scale) — while every accumulation stays f32.
+    The LM system itself (gc/hcc, trial costs, trust region) is untouched;
+    an inexact-Jacobian PCG step only perturbs the search direction, which
+    the accept/reject test already guards. ``sweep_block_n`` is the sweep
+    kernels' lane-block size.
     """
     from deeparc_tpu.residuals.reprojection import camera_dim, unflatten_camera
     from deeparc_tpu.solver.ba import StepInfo
@@ -1217,7 +1296,7 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         offset = 0
         for i, b in enumerate(tiles.buckets):
             Nb, W = b.cell.shape
-            if lin_planes is not None:
+            if lin_planes is not None and lin_planes[i] is not None:
                 cell_t, jcam_t, jx_t = lin_planes[i][:3]
                 binv_t = binv[offset: offset + Nb].reshape(Nb, 9).T
                 gp_t = sys.g_p[offset: offset + Nb].T
@@ -1230,6 +1309,9 @@ def make_tile_step(options: SolverOptions, template: BAParams,
                 plane = b.loc[0] if b.loc else b.cell
                 cell_t, jcam_t, jx_t = pack_bucket_planes(
                     blk.j_x, blk.j_cam, plane)
+                if sweep_dtype is not None:
+                    jcam_t = jcam_t.astype(sweep_dtype)
+                    jx_t = jx_t.astype(sweep_dtype)
                 binv_t = binv[offset: offset + Nb].reshape(Nb, 9).T
                 gp_t = sys.g_p[offset: offset + Nb].T
                 chunk_cells = b.loc[1] if b.loc else None
@@ -1265,14 +1347,16 @@ def make_tile_step(options: SolverOptions, template: BAParams,
                         bins = tile_sweep_local(
                             cell_t, jcam_t, jx_t, binv_t, gp_t,
                             _local_v(None if rhs_mode else v_cells, cc),
-                            mode=mode, interpret=interpret)
+                            mode=mode, block_n=sweep_block_n,
+                            interpret=interpret)
                         out = out.at[cc.reshape(-1)].add(
                             bins.reshape(-1, 18))
                     else:
                         out = out + tile_sweep(
                             cell_t, jcam_t, jx_t, binv_t, gp_t,
                             zeros_v if rhs_mode else v_cells,
-                            mode=mode, interpret=interpret)
+                            mode=mode, block_n=sweep_block_n,
+                            interpret=interpret)
                 off += Nb
             return out
 
@@ -1295,11 +1379,13 @@ def make_tile_step(options: SolverOptions, template: BAParams,
                         parts.append(tile_sweep_local(
                             cell_t, jcam_t, jx_t, binv_t, gp_t,
                             _local_v(v_cells, cc),
-                            mode="edot", interpret=interpret))
+                            mode="edot", block_n=sweep_block_n,
+                            interpret=interpret))
                     else:
                         parts.append(tile_sweep(
                             cell_t, jcam_t, jx_t, binv_t, gp_t, v_cells,
-                            mode="edot", interpret=interpret))
+                            mode="edot", block_n=sweep_block_n,
+                            interpret=interpret))
                 off += Nb
             tail = sys.g_p.shape[0] - off
             if tail > 0:
@@ -1318,13 +1404,17 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         # the fused linearize engages on real TPU only: its interpret-mode
         # execution is far slower than the XLA path it replaces (the sweep
         # kernels stay interpreted on CPU because they're the only
-        # implementation of their layout; the linearize has linearize_tiles)
+        # implementation of their layout; the linearize has linearize_tiles).
+        # Dispatch is PER BUCKET: wide/tail buckets of a heavy-tailed track
+        # distribution run the XLA path without disabling the fused kernel
+        # for the narrow buckets that carry most observations.
         lin_planes = None
-        if (impl == "pallas" and fused_linearize_ok(tiles)
-                and jax.default_backend() == "tpu"):
-            sys, lin_planes = linearize_tiles_fused(
-                state.points, packed, tiles, point_free_t, C,
-                options.loss, options.loss_scale)
+        if (impl == "pallas" and jax.default_backend() == "tpu"
+                and any(bucket_fused_ok(b) for b in tiles.buckets)):
+            sys, lin_planes = linearize_tiles_mixed(
+                state.points, packed, tiles, point_free_t, C, chunk_obs,
+                options.loss, options.loss_scale,
+                plane_dtype=sweep_dtype)
         else:
             sys = linearize_tiles(
                 state.points, packed, tiles, point_free_t, C, chunk_obs,

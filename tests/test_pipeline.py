@@ -337,3 +337,73 @@ def test_bal_file_cli_roundtrip(tmp_path):
     import os
 
     assert os.path.exists(out_dir + "/toy_output.deeparc")
+
+
+def test_sharded_tiles_pipeline(tmp_path, capsys):
+    """engine='tiles-sharded': the FULL pipeline loop (freeze solve,
+    solve/filter rounds, snapshots, export) with every solve SPMD over the
+    virtual 8-device mesh (VERDICT r3 item 4). Must agree with the
+    single-device tile pipeline on final RMSE."""
+    import dataclasses as dc
+
+    from deeparc_tpu.config import (
+        FilterOptions, PipelineOptions, SolverOptions,
+    )
+    from deeparc_tpu.io.deeparc_format import read_deeparc
+    from deeparc_tpu.io.synthetic import make_bal_synthetic
+    from deeparc_tpu.pipeline.driver import run_pipeline
+
+    rig = make_bal_synthetic(
+        n_cameras=10, n_points=150, track_length=5.0,
+        pixel_noise=0.5, point_noise=0.05, seed=7,
+    )
+    opts = PipelineOptions(
+        solver=SolverOptions(
+            linear_solver="iterative_schur", max_iterations=8,
+            cg_max_iterations=40, progress_to_stdout=False,
+        ),
+        filter=FilterOptions(error_boundary=5.0, hemisphere_cut=True),
+        max_filter_rounds=2,
+        engine="tiles-sharded",
+    )
+    out_dir = str(tmp_path / "shard_out")
+    result = run_pipeline(rig.data, opts, output_dir=out_dir,
+                          basename="shard", verbose=True)
+    captured = capsys.readouterr().out
+    assert "mesh: 8 devices" in captured
+    assert result.final_rmse_px < 2.0
+    back = read_deeparc(out_dir + "/shard_output.deeparc")
+    assert back.obs_point.shape[0] > 0
+
+    res_single = run_pipeline(
+        rig.data, dc.replace(opts, engine="tiles"), verbose=False)
+    assert abs(result.final_rmse_px - res_single.final_rmse_px) < 0.1
+
+
+def test_sharded_grid_pipeline(tmp_path, capsys):
+    """engine='grid-sharded' on a shared rig: distributed solves inside the
+    reference pipeline loop, output loadable, RMSE at the noise floor."""
+    from deeparc_tpu.config import (
+        FilterOptions, PipelineOptions, SolverOptions,
+    )
+    from deeparc_tpu.io.deeparc_format import read_deeparc
+    from deeparc_tpu.pipeline.driver import run_pipeline
+
+    rig = make_hemisphere_rig(
+        n_arc=3, n_ring=6, n_points=120, pixel_noise=0.5, point_noise=0.03,
+        seed=13,
+    )
+    opts = PipelineOptions(
+        solver=SolverOptions(max_iterations=8, progress_to_stdout=False),
+        filter=FilterOptions(error_boundary=5.0, hemisphere_cut=True),
+        max_filter_rounds=2,
+        engine="grid-sharded",
+    )
+    out_dir = str(tmp_path / "gshard_out")
+    result = run_pipeline(rig.data, opts, output_dir=out_dir,
+                          basename="gshard", verbose=True)
+    captured = capsys.readouterr().out
+    assert "mesh: 8 devices" in captured
+    assert result.final_rmse_px < 1.5
+    back = read_deeparc(out_dir + "/gshard_output.deeparc")
+    assert back.obs_point.shape[0] > 0
