@@ -140,7 +140,11 @@ def build_config(args):
     # from a cyclic window of --occlusion-rings turntable steps — what a
     # real capture has); --sparse-random reproduces the uniform-random
     # no-locality worst case. Both have the same n_obs.
-    occl = None if (args.dense or args.sparse_random) else args.occlusion_rings
+    # occlusion windows are a grid-engine config; the indexed/tiles sparse
+    # configs keep the legacy uniform visibility (mean track 10 of 192)
+    occl = (None if (args.dense or args.sparse_random
+                     or args.engine != "grid")
+            else args.occlusion_rings)
     if args.dense:
         vis = None
     elif occl is not None:
@@ -482,6 +486,125 @@ def measure(args) -> dict:
     return out
 
 
+def _rmse_trace_loop(args, state, hist, run_block, run_args, n_live,
+                     max_iterations, compile_s, impl):
+    """Generic blocked convergence loop with an on-device per-iteration
+    cost trace: exact crossing iteration, block-interpolated wall time
+    (per-iteration step cost is constant), full per-iterate history."""
+    import numpy as np
+
+    rmse0 = float(np.sqrt(2.0 * float(state.cost) / n_live))
+    t0 = time.time()
+    t_hit, k_hit = None, None
+    t_prev, k_prev = 0.0, 0
+    while int(state.status) == 0 and int(state.k) < max_iterations:
+        state, hist = run_block(state, hist, *run_args)
+        np_hist = np.asarray(hist)                 # tiny fetch, forces sync
+        now = time.time() - t0
+        k_now = int(state.k)
+        if t_hit is None and k_now > k_prev:
+            for k in range(k_prev + 1, k_now + 1):
+                if np_hist[k] < 0:
+                    continue
+                rmse_k = float(np.sqrt(2.0 * np_hist[k] / n_live))
+                if rmse_k <= args.target_rmse:
+                    k_hit = k
+                    frac = (k - k_prev) / (k_now - k_prev)
+                    t_hit = t_prev + frac * (now - t_prev)
+                    break
+        t_prev, k_prev = now, k_now
+        # keep going to convergence so final_rmse is the true floor
+    total_s = time.time() - t0
+    np_hist = np.asarray(hist)[: int(state.k) + 1]
+    history = [
+        (k, round(float(np.sqrt(2.0 * c / n_live)), 4))
+        for k, c in enumerate(np_hist) if c >= 0
+    ]
+    import jax
+
+    return dict(
+        time_to_rmse_s=t_hit, iters_to_rmse=k_hit,
+        target_rmse=args.target_rmse,
+        initial_rmse=round(rmse0, 4), final_rmse=history[-1][1],
+        total_iterations=int(state.k), total_s=total_s,
+        status=int(state.status), compile_s=compile_s,
+        n_obs=int(n_live), history=history,
+        platform=jax.devices()[0].platform, impl=impl,
+    )
+
+
+def _time_to_rmse_tiles(args) -> dict:
+    """BAL-scale convergence quality (VERDICT r3 item 5): the tile engine
+    from its noisy init with REAL criteria — trust-region accept/reject
+    on, Ceres-default tolerances, PCG with a real relative tolerance
+    (cg_tolerance=0.1, the ITERATIVE_SCHUR eta analogue) under the
+    --cg-iters cap — proving the 1M-point problem CONVERGES on the chip
+    (reference bar: every solve runs Ceres' convergence tests,
+    src/sfm.cc:66-74)."""
+    import jax
+    import jax.numpy as jnp
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from deeparc_tpu.config import SolverOptions
+    from deeparc_tpu.io.synthetic import make_bal_tile_device
+    from deeparc_tpu.solver.tiles import init_tile_state, make_tile_step
+
+    n_pts = args.n_points or (4_000 if args.quick else 1_000_000)
+    n_cam = 64 if args.quick else 2000
+    params, tiles, _, cam_free = make_bal_tile_device(
+        n_cameras=n_cam, n_points=n_pts, track_length=8,
+        pixel_noise=1.0, point_noise=0.02, seed=0, dtype=jnp.float32,
+        window=None if args.bal_random else args.window,
+    )
+    n_ext = params.ext_rot.shape[0]
+    cam_free = cam_free.at[:6].set(0.0)
+    cam_free = cam_free.at[6 * (n_ext - 1): 6 * n_ext].set(0.0)
+    cam_free = cam_free.at[6 * n_ext:].set(0.0)
+    point_free = jnp.ones_like(params.points)
+
+    options = SolverOptions(
+        linear_solver="iterative_schur",
+        cg_max_iterations=args.cg_iters, cg_tolerance=0.1,
+        max_iterations=100,
+    )
+    impl = args.impl or (
+        "pallas" if jax.default_backend() == "tpu" else "xla")
+    t_step = make_tile_step(
+        options, params, impl=impl,
+        sweep_dtype=jnp.bfloat16 if args.sweep_dtype == "bf16" else None,
+        sweep_block_n=args.sweep_block)
+    block = 5
+    hist_len = options.max_iterations + 1
+
+    @jax.jit
+    def run_block(s, hist, t, cf, pf):
+        def body(carry):
+            st, h = carry
+            st2, info = t_step(st, t, cf, pf)
+            return st2, h.at[st2.k].set(info.cost)
+
+        return jax.lax.while_loop(
+            lambda c: (c[0].status == 0) & (c[0].k < s.k + block),
+            body, (s, hist),
+        )
+
+    n_live = float(sum(float(jnp.sum(b.mask)) for b in tiles.buckets))
+    state = init_tile_state(params, tiles, options, cam_free)
+    hist = jnp.full((hist_len,), -1.0,
+                    state.cost.dtype).at[0].set(state.cost)
+
+    t_c = time.time()
+    probe = run_block(state, hist, tiles, cam_free, point_free)
+    float(probe[0].cost)
+    compile_s = time.time() - t_c
+
+    return _rmse_trace_loop(
+        args, state, hist, run_block, (tiles, cam_free, point_free),
+        n_live, options.max_iterations, compile_s, impl)
+
+
 def measure_time_to_rmse(args) -> dict:
     """Wall-clock to target reprojection RMSE (BASELINE row 4).
 
@@ -506,6 +629,8 @@ def measure_time_to_rmse(args) -> dict:
     from deeparc_tpu.solver.rig_grid import init_grid_state, make_grid_step
 
     cfg = build_config(args)
+    if args.engine == "tiles" or args.bal:
+        return _time_to_rmse_tiles(args)
     if args.impl is None:
         args.impl = "pallas" if jax.default_backend() == "tpu" else "planes"
     if args.impl not in {"planes", "einsum", "pallas"}:
@@ -567,52 +692,17 @@ def measure_time_to_rmse(args) -> dict:
     n_live = float(jnp.sum(grid.mask))
     state = init_grid_state(params, grid, options, impl=args.impl,
                             band_widths=band_widths, band_blocks=band_blocks)
-    rmse0 = float(jnp.sqrt(2.0 * state.cost / n_live))
-    hist = jnp.full((hist_len,), -1.0, state.cost.dtype).at[0].set(state.cost)
+    hist = jnp.full((hist_len,), -1.0,
+                    state.cost.dtype).at[0].set(state.cost)
 
     t_c = time.time()
     probe = run_block(state, hist, grid, cam_free, point_free)  # compile
     float(probe[0].cost)
     compile_s = time.time() - t_c
 
-    t0 = time.time()
-    t_hit, k_hit = None, None
-    t_prev, k_prev = 0.0, 0
-    while int(state.status) == 0 and int(state.k) < options.max_iterations:
-        state, hist = run_block(state, hist, grid, cam_free, point_free)
-        np_hist = np.asarray(hist)                 # tiny fetch, forces sync
-        now = time.time() - t0
-        k_now = int(state.k)
-        if t_hit is None and k_now > k_prev:
-            # exact crossing ITERATION from the on-device trace; wall time
-            # linearly interpolated inside the block (per-iteration step
-            # cost is constant — measured mask-independent, BENCH.md)
-            for k in range(k_prev + 1, k_now + 1):
-                if np_hist[k] < 0:
-                    continue
-                rmse_k = float(np.sqrt(2.0 * np_hist[k] / n_live))
-                if rmse_k <= args.target_rmse:
-                    k_hit = k
-                    frac = (k - k_prev) / (k_now - k_prev)
-                    t_hit = t_prev + frac * (now - t_prev)
-                    break
-        t_prev, k_prev = now, k_now
-        # keep going to convergence so final_rmse is the true floor
-    total_s = time.time() - t0
-    np_hist = np.asarray(hist)[: int(state.k) + 1]
-    history = [
-        (k, round(float(np.sqrt(2.0 * c / n_live)), 4))
-        for k, c in enumerate(np_hist) if c >= 0
-    ]
-    return dict(
-        time_to_rmse_s=t_hit, iters_to_rmse=k_hit,
-        target_rmse=args.target_rmse,
-        initial_rmse=round(rmse0, 4), final_rmse=history[-1][1],
-        total_iterations=int(state.k), total_s=total_s,
-        status=int(state.status), compile_s=compile_s,
-        n_obs=int(n_live), history=history,
-        platform=jax.devices()[0].platform, impl=args.impl,
-    )
+    return _rmse_trace_loop(
+        args, state, hist, run_block, (grid, cam_free, point_free),
+        n_live, options.max_iterations, compile_s, args.impl)
 
 
 def measure_scaling(args) -> dict:
@@ -779,15 +869,23 @@ MATRIX = [
      ["--engine", "grid", "--dense", "--impl", "planes", "--no-baseline"]),
     ("tiles sparse rig (pallas)", ["--engine", "tiles"]),
     ("tiles BAL 1M pts windowed (pallas)", ["--engine", "tiles", "--bal"]),
+    ("tiles BAL 1M pts windowed (pallas, bf16 sweeps + 1024 blocks)",
+     ["--engine", "tiles", "--bal", "--sweep-dtype", "bf16",
+      "--sweep-block", "1024", "--no-baseline"]),
+    ("tiles BAL 1M pts heavy-tailed tracks (mixed fused/XLA buckets)",
+     ["--engine", "tiles", "--bal-heavytail", "--no-baseline",
+      "--sweep-dtype", "bf16", "--sweep-block", "1024"]),
     ("tiles BAL 1M pts random graph (pallas)",
      ["--engine", "tiles", "--bal-random", "--no-baseline"]),
-    # the indexed layout cannot fit the 400k-point flagship problem on one
-    # chip: its (4M, 6, 6) gather/segment temporaries take 28x padding
-    # expansion under TPU tiling (~19 GB HBM). Recorded at 100k points;
-    # live_obs_per_sec is the size-normalized comparison number.
-    ("indexed engine (reference layout, 100k pts; 400k OOMs 16G HBM)",
-     ["--engine", "indexed", "--no-baseline", "--n-points", "100000"]),
+    # flat (M, 44)-packed layout: the flagship 400k-pt problem now fits the
+    # 16 GB chip (the round-3 rank-3 layout padded ~28x and OOMed)
+    ("indexed engine (reference layout, flagship 400k pts)",
+     ["--engine", "indexed", "--no-baseline", "--iters", "3",
+      "--warmup", "1"]),
     ("time-to-RMSE 1.5px, grid sparse (BASELINE row 4)", ["--time-to-rmse"]),
+    ("time-to-RMSE 1.5px, tiles BAL 1M pts (real tolerances, PCG eta=0.1)",
+     ["--time-to-rmse", "--bal", "--sweep-dtype", "bf16",
+      "--sweep-block", "1024"]),
     ("8-virtual-device distribution overhead (BASELINE row 3 proxy)",
      ["--scaling"]),
 ]
@@ -856,8 +954,11 @@ def main(argv=None) -> int:
         result = measure_time_to_rmse(args)
         vs = None
         # estimated CPU time-to-RMSE from the cached same-solver CPU iter/s
-        # (a full CPU convergence run at 400k points would take ~hours)
+        # (a full CPU convergence run at 400k points would take ~hours);
+        # only anchored for the grid config (the cached key is grid-shaped)
         try:
+            if args.bal or args.engine == "tiles":
+                raise KeyError("no CPU anchor for the BAL config")
             cache_path = os.path.join(os.path.dirname(__file__),
                                       ".bench_cache.json")
             n = args.n_points or (2_000 if args.quick else 400_000)

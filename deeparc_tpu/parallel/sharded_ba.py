@@ -47,6 +47,7 @@ from deeparc_tpu.scene import BAParams, Scene, SceneIndex
 from deeparc_tpu.solver import trust_region as tr_mod
 from deeparc_tpu.solver.linalg import masked_spd_solve
 from deeparc_tpu.solver.schur import (
+    sys_r,
     _augmented_point_blocks,
     _cam_aug_diag,
     back_substitute,
@@ -234,7 +235,8 @@ def solve_ba_sharded(
             dp = back_substitute(sys, binv, dc)
 
             j_dx = j_times(sys, dp, dc)
-            mcc = jax.lax.psum(tr_mod.model_cost_change(j_dx, sys.r), axis)
+            mcc = jax.lax.psum(
+                tr_mod.model_cost_change(j_dx, sys_r(sys)), axis)
 
             new_points = points_ + dp
             new_cam = cam_vec + dc

@@ -106,6 +106,77 @@ def jacobian_blocks(params: BAParams, index: SceneIndex) -> ObsJacobians:
     )
 
 
+class FlatObsJacobians(NamedTuple):
+    r: jnp.ndarray   # (M, 2) masked residuals
+    jp: jnp.ndarray  # (M, 6)  d res / d point, columns r*3+i
+    jc: jnp.ndarray  # (M, 36) d res / d camera, columns r*18+c
+
+
+def jacobian_blocks_flat(params: BAParams, index: SceneIndex,
+                         chunk: int = 262_144) -> FlatObsJacobians:
+    """Residuals + Jacobian blocks in the FLAT rank-2 layout.
+
+    Same math as :func:`jacobian_blocks`, but every per-observation array
+    stays rank-2 with M leading (TPU HBM tiles the trailing two dims to
+    (8, 128), so rank-3 (M, 2, k) blocks pad ~28x and OOM flagship-size
+    problems — solver/schur.py consumes this layout). Evaluation is
+    chunked so the gathered parameter slices never materialize at full M.
+    """
+    M = index.obs_point.shape[0]
+    chunk = min(chunk, M)
+    n_chunks = -(-M // chunk)
+    pad = n_chunks * chunk - M
+
+    def pad0(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+
+    op = pad0(index.obs_point)
+    oo = pad0(index.obs_outer)
+    oi = pad0(index.obs_inner)
+    ok = pad0(index.obs_intr)
+    xy = pad0(index.obs_xy)
+    msk = pad0(index.obs_mask)
+
+    def chunk_fn(args):
+        opc, ooc, oic, okc, xyc, mc = args
+        cam = CameraSlice(
+            point=params.points[opc],
+            center=params.center[okc],
+            focal=params.focal[okc],
+            dist=params.dist[okc],
+            rot_outer=params.ext_rot[ooc],
+            t_outer=params.ext_trans[ooc],
+            rot_inner=params.ext_rot[oic],
+            t_inner=params.ext_trans[oic],
+        )
+        masks = StructureMasks(
+            focal_shared=index.focal_shared[okc],
+            dist_m1=index.dist_m1[okc],
+            dist_m2=index.dist_m2[okc],
+        )
+
+        def per_obs(cam_slice, m, xy_one):
+            r = project_observation(cam_slice, m, xy_one)
+            jac = jax.jacfwd(project_observation)(cam_slice, m, xy_one)
+            j_cam = jnp.concatenate(
+                [jac.rot_outer, jac.t_outer, jac.rot_inner, jac.t_inner,
+                 jac.center, jac.focal, jac.dist], axis=-1)
+            return r, jac.point.reshape(6), j_cam.reshape(36)
+
+        r, jp, jc = jax.vmap(per_obs)(cam, masks, xyc)
+        w = mc[:, None]
+        return r * w, jp * w, jc * w
+
+    shaped = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
+    r, jp, jc = jax.lax.map(
+        chunk_fn, (shaped(op), shaped(oo), shaped(oi), shaped(ok),
+                   shaped(xy), shaped(msk)))
+    return FlatObsJacobians(
+        r=r.reshape(-1, 2)[:M], jp=jp.reshape(-1, 6)[:M],
+        jc=jc.reshape(-1, 36)[:M])
+
+
 # ---------------------------------------------------------------------------
 # Flattened camera-parameter vector layout (the Schur "reduced camera system"
 # coordinates): per extrinsic row e: cols [6e, 6e+3) = rot, [6e+3, 6e+6) = t;

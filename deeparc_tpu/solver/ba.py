@@ -24,16 +24,18 @@ import jax.numpy as jnp
 
 from deeparc_tpu.config import SolverOptions
 from deeparc_tpu.residuals.reprojection import (
+    FlatObsJacobians,
     flatten_camera,
-    jacobian_blocks,
+    jacobian_blocks_flat,
     residuals as residuals_fn,
     unflatten_camera,
 )
-from deeparc_tpu.residuals.reprojection import ObsJacobians
 from deeparc_tpu.scene import BAParams, SceneIndex
 from deeparc_tpu.solver import trust_region as tr_mod
 from deeparc_tpu.solver.loss import rho as loss_rho, weight as loss_weight
-from deeparc_tpu.solver.schur import build_system, j_times, solve_schur
+from deeparc_tpu.solver.schur import (
+    build_system, j_times, solve_schur, sys_r,
+)
 
 
 def robust_cost(params, index, options: SolverOptions):
@@ -89,23 +91,23 @@ def make_step_pure(options: SolverOptions):
     def step(state: BAState, index: SceneIndex, cam_free, point_free):
         n_points = point_free.shape[0]
         params = state.params
-        blocks = jacobian_blocks(params, index)
+        blocks = jacobian_blocks_flat(params, index)
         if options.loss != "trivial":
             s = jnp.sum(blocks.r * blocks.r, axis=-1)
             w = loss_weight(s, options.loss, options.loss_scale)
-            blocks = ObsJacobians(
+            blocks = FlatObsJacobians(
                 r=blocks.r * w[:, None],
-                j_point=blocks.j_point * w[:, None, None],
-                j_cam=blocks.j_cam * w[:, None, None],
+                jp=blocks.jp * w[:, None],
+                jc=blocks.jc * w[:, None],
             )
         sys = build_system(
-            blocks.r, blocks.j_point, blocks.j_cam, index,
+            blocks.r, blocks.jp, blocks.jc, index,
             n_points, params.ext_rot.shape[0], params.center.shape[0],
             cam_free, point_free,
         )
         dp, dc = solve_schur(sys, state.tr.radius, options)
         j_dx = j_times(sys, dp, dc)
-        mcc = tr_mod.model_cost_change(j_dx, sys.r)
+        mcc = tr_mod.model_cost_change(j_dx, sys_r(sys))
 
         trial = _apply_step(params, dp, dc)
         new_cost = robust_cost(trial, index, options)

@@ -15,9 +15,19 @@ batched inverses — pure VPU work) and solving the reduced camera system
 either densely (exact Cholesky — the DENSE_SCHUR analogue, for moderate
 camera counts) or matrix-free with preconditioned CG (ITERATIVE_SCHUR — the
 at-scale path: S is never materialized; each application of S is a handful of
-batched einsums over observations plus segment-sums, which is exactly the
+batched products over observations plus segment-sums, which is exactly the
 shape XLA tiles onto the MXU/VPU). Back-substitution then recovers
 dp = -B^-1 (g_p + E dc) pointwise.
+
+MEMORY LAYOUT (TPU tiling): every per-observation array here is RANK-2 with
+M leading. TPU HBM buffers tile the last two dims to (8, 128), so a rank-3
+(M, 2, 18) block pads ~28x and a flagship-size problem OOMs the 16 GB chip
+(the round-3 indexed-engine limitation). All residual/Jacobian blocks are
+therefore PACKED into one (M, 44) buffer — columns [0:2) residual,
+[2:8) d res/d point row-major (r*3+i), [8:44) d res/d camera (r*18+c) —
+one tile-padded allocation total, and every contraction is explicit slice
+arithmetic on (M, k<=36) operands that XLA fuses without materializing
+rank-3 shapes.
 
 Camera-side accumulations exploit the column structure (18 per-observation
 columns = 3 groups of 6 keyed by outer-extrinsic / inner-extrinsic /
@@ -46,10 +56,7 @@ from deeparc_tpu.solver.trust_region import lm_diagonal
 class SchurSystem(NamedTuple):
     """One linearization, masked and ready for (possibly repeated) solves."""
 
-    r: jnp.ndarray          # (M, 2)
-    j_point: jnp.ndarray    # (M, 2, 3)   frozen point coords zeroed
-    j_cam: jnp.ndarray      # (M, 2, 18)  frozen camera cols zeroed
-    cols: jnp.ndarray       # (M, 18) flat camera-vector column indices
+    jrc: jnp.ndarray        # (M, 44) packed [r | j_point | j_cam], see above
     obs_point: jnp.ndarray  # (M,)
     obs_outer: jnp.ndarray  # (M,) outer-extrinsic row ids
     obs_inner: jnp.ndarray  # (M,) inner-extrinsic row ids
@@ -62,6 +69,63 @@ class SchurSystem(NamedTuple):
     hcc_diag: jnp.ndarray   # (C,)
     cam_free: jnp.ndarray   # (C,) 0/1
     point_free: jnp.ndarray  # (N, 3) 0/1
+
+
+# -- packed-buffer accessors (views; fused into consumers by XLA) -----------
+
+def sys_r(sys: "SchurSystem") -> jnp.ndarray:
+    """(M, 2) residuals."""
+    return sys.jrc[:, 0:2]
+
+
+def sys_jp(sys: "SchurSystem") -> jnp.ndarray:
+    """(M, 6) point Jacobian, columns r*3+i."""
+    return sys.jrc[:, 2:8]
+
+
+def sys_jc(sys: "SchurSystem") -> jnp.ndarray:
+    """(M, 36) camera Jacobian, columns r*18+c."""
+    return sys.jrc[:, 8:44]
+
+
+def sys_cols(sys: "SchurSystem") -> jnp.ndarray:
+    """(M, 18) flat camera-vector column ids (computed, never stored)."""
+    six = jnp.arange(6, dtype=jnp.int32)
+    outer = sys.obs_outer[:, None] * 6 + six[None, :]
+    inner = sys.obs_inner[:, None] * 6 + six[None, :]
+    intr = 6 * sys.n_ext_rows + sys.obs_intr[:, None] * 6 + six[None, :]
+    return jnp.concatenate([outer, inner, intr], axis=1)
+
+
+# -- flat contraction helpers (all outputs rank-2, M leading) ---------------
+
+def _jp_r(jp, t2):
+    """sum_r jp[m, r*3+i] * t[m, r] -> (M, 3)."""
+    return jp[:, 0:3] * t2[:, 0:1] + jp[:, 3:6] * t2[:, 1:2]
+
+
+def _jc_r(jc, t2):
+    """sum_r jc[m, r*18+c] * t[m, r] -> (M, 18)."""
+    return jc[:, 0:18] * t2[:, 0:1] + jc[:, 18:36] * t2[:, 1:2]
+
+
+def _jp_dot(jp, v3):
+    """sum_i jp[m, r*3+i] * v[m, i] -> (M, 2)."""
+    return jnp.stack([jnp.sum(jp[:, 0:3] * v3, axis=1),
+                      jnp.sum(jp[:, 3:6] * v3, axis=1)], axis=1)
+
+
+def _jc_dot(jc, v18):
+    """sum_c jc[m, r*18+c] * v[m, c] -> (M, 2)."""
+    return jnp.stack([jnp.sum(jc[:, 0:18] * v18, axis=1),
+                      jnp.sum(jc[:, 18:36] * v18, axis=1)], axis=1)
+
+
+def _outer_cols(a0, a1, b0, b1):
+    """sum_r a_r[m, i] * b_r[m, j] flattened -> (M, ka*kb), cols i*kb+j."""
+    ka, kb = a0.shape[1], b0.shape[1]
+    cols = [a0[:, i:i + 1] * b0 + a1[:, i:i + 1] * b1 for i in range(ka)]
+    return jnp.concatenate(cols, axis=1)
 
 
 def cam_accumulate(sys: "SchurSystem", vals: jnp.ndarray) -> jnp.ndarray:
@@ -93,32 +157,48 @@ def build_system(
     point_free: jnp.ndarray,
 ) -> SchurSystem:
     """Assemble the masked system from Jacobian blocks + a SceneIndex-like
-    object carrying (obs_point, obs_outer, obs_inner, obs_intr)."""
-    from deeparc_tpu.residuals.reprojection import camera_col_indices
+    object carrying (obs_point, obs_outer, obs_inner, obs_intr).
 
-    cols = camera_col_indices(index, n_ext_rows)
+    Blocks may be flat ((M,2)/(M,6)/(M,36)) or rank-3 ((M,2,3)/(M,2,18) —
+    the autodiff layout; reshaped row-major, which matches the flat column
+    convention)."""
+    M = r.shape[0]
+    jp = j_point.reshape(M, 6)
+    jc = j_cam.reshape(M, 36)
     obs_point = index.obs_point
-    j_cam = j_cam * cam_free[cols][:, None, :]
-    j_point = j_point * point_free[obs_point][:, None, :]
+
+    free18 = cam_free[_cols_of(index, n_ext_rows)]          # (M, 18)
+    jc = jc * jnp.concatenate([free18, free18], axis=1)
+    pf3 = point_free[obs_point]                             # (M, 3)
+    jp = jp * jnp.concatenate([pf3, pf3], axis=1)
+    jrc = jnp.concatenate([r, jp, jc], axis=1)              # (M, 44)
 
     sys = SchurSystem(
-        r=r, j_point=j_point, j_cam=j_cam, cols=cols, obs_point=obs_point,
+        jrc=jrc, obs_point=obs_point,
         obs_outer=index.obs_outer, obs_inner=index.obs_inner,
         obs_intr=index.obs_intr, n_ext_rows=n_ext_rows, n_intr=n_intr,
         g_p=None, g_c=None, hpp=None, hcc_diag=None,
         cam_free=cam_free, point_free=point_free,
     )
-    g_p = jax.ops.segment_sum(
-        jnp.einsum("mri,mr->mi", j_point, r), obs_point, num_segments=n_points
+    # one fused (M, 12) segment-sum carries g_p + the 3x3 point Hessian
+    hpp9 = _outer_cols(jp[:, 0:3], jp[:, 3:6], jp[:, 0:3], jp[:, 3:6])
+    gp_hpp = jax.ops.segment_sum(
+        jnp.concatenate([_jp_r(jp, r), hpp9], axis=1),
+        obs_point, num_segments=n_points,
     )
-    g_c = cam_accumulate(sys, jnp.einsum("mrc,mr->mc", j_cam, r))
-    hpp = jax.ops.segment_sum(
-        jnp.einsum("mri,mrj->mij", j_point, j_point),
-        obs_point,
-        num_segments=n_points,
+    g_c = cam_accumulate(sys, _jc_r(jc, r))
+    hcc_diag = cam_accumulate(
+        sys, jc[:, 0:18] * jc[:, 0:18] + jc[:, 18:36] * jc[:, 18:36])
+    return sys._replace(
+        g_p=gp_hpp[:, 0:3], hpp=gp_hpp[:, 3:12].reshape(n_points, 3, 3),
+        g_c=g_c, hcc_diag=hcc_diag,
     )
-    hcc_diag = cam_accumulate(sys, jnp.einsum("mrc,mrc->mc", j_cam, j_cam))
-    return sys._replace(g_p=g_p, g_c=g_c, hpp=hpp, hcc_diag=hcc_diag)
+
+
+def _cols_of(index, n_ext_rows: int) -> jnp.ndarray:
+    from deeparc_tpu.residuals.reprojection import camera_col_indices
+
+    return camera_col_indices(index, n_ext_rows)
 
 
 def _augmented_point_blocks(
@@ -152,32 +232,34 @@ def schur_matvec(
 ) -> jnp.ndarray:
     """Apply S = (Hcc + aug) - E^T B~^-1 E matrix-free; frozen rows act as I."""
     n_points = sys.g_p.shape[0]
-    v_cols = v[sys.cols]                                        # (M, 18)
-    t = jnp.einsum("mrc,mc->mr", sys.j_cam, v_cols)             # (M, 2)
-    hcc_v = cam_accumulate(sys, jnp.einsum("mrc,mr->mc", sys.j_cam, t))
+    jp, jc = sys_jp(sys), sys_jc(sys)
+    v_cols = v[sys_cols(sys)]                               # (M, 18)
+    t = _jc_dot(jc, v_cols)                                 # (M, 2)
+    hcc_v = cam_accumulate(sys, _jc_r(jc, t))
     ev = jax.ops.segment_sum(
-        jnp.einsum("mri,mr->mi", sys.j_point, t),
-        sys.obs_point,
-        num_segments=n_points,
-    )
+        _jp_r(jp, t), sys.obs_point, num_segments=n_points)
     w = jnp.einsum("pij,pj->pi", binv, ev)
-    t2 = jnp.einsum("mri,mi->mr", sys.j_point, w[sys.obs_point])
-    corr = cam_accumulate(sys, jnp.einsum("mrc,mr->mc", sys.j_cam, t2))
+    t2 = _jp_dot(jp, w[sys.obs_point])
+    corr = cam_accumulate(sys, _jc_r(jc, t2))
     s = hcc_v + cam_aug * v - corr
     return jnp.where(sys.cam_free > 0.5, s, v)
 
 
 def _groups(sys: SchurSystem):
-    """(ids, row-count, j_cam column slice, col offset) per structured group.
-
-    The camera vector is [ext rows | intr rows]; both the outer and inner
-    extrinsic groups land in the ext region."""
+    """(ids, row-count, column offset in the 18, flat col offset) per
+    structured group. The camera vector is [ext rows | intr rows]; both the
+    outer and inner extrinsic groups land in the ext region."""
     R, K = sys.n_ext_rows, sys.n_intr
     return (
-        (sys.obs_outer, R, slice(0, 6), 0),
-        (sys.obs_inner, R, slice(6, 12), 0),
-        (sys.obs_intr, K, slice(12, 18), 6 * R),
+        (sys.obs_outer, R, 0, 0),
+        (sys.obs_inner, R, 6, 0),
+        (sys.obs_intr, K, 12, 6 * R),
     )
+
+
+def _jc_group(jc, off):
+    """The two per-residual-row 6-wide slices of one column group."""
+    return jc[:, off: off + 6], jc[:, 18 + off: 18 + off + 6]
 
 
 def _dense_E(sys: SchurSystem) -> jnp.ndarray:
@@ -185,43 +267,42 @@ def _dense_E(sys: SchurSystem) -> jnp.ndarray:
 
     For group g with R_g rows, the per-observation 3x6 coupling block
     W = J_point^T J_cam[:, g] is segment-summed with key
-    point * R_g + id_g; the (N * R_g, 3, 6) result IS the dense per-point
-    E restricted to that group (reshape + transpose, zero actual scatter).
-    Memory is O(N * (2 * n_ext_rows + n_intr) * 18) — the dense path is for
-    moderate problems (rigs); at BAL scale use ITERATIVE_SCHUR.
+    point * R_g + id_g; the (N * R_g, 18) flat result IS the dense
+    per-point E restricted to that group. Memory is
+    O(N * (2 * n_ext_rows + n_intr) * 18) — the dense path is for moderate
+    problems (rigs); at BAL scale use ITERATIVE_SCHUR.
     """
     n_points = sys.g_p.shape[0]
     n_cam = sys.g_c.shape[0]
-    E = jnp.zeros((n_points, 3, n_cam), sys.r.dtype)
-    for ids, R_g, sl, off in _groups(sys):
-        W = jnp.einsum("mri,mrc->mic", sys.j_point, sys.j_cam[:, :, sl])
+    jp, jc = sys_jp(sys), sys_jc(sys)
+    E = jnp.zeros((n_points, 3, n_cam), sys.jrc.dtype)
+    for ids, R_g, off, flat_off in _groups(sys):
+        g0, g1 = _jc_group(jc, off)
+        W = _outer_cols(jp[:, 0:3], jp[:, 3:6], g0, g1)     # (M, 18) i*6+c
         grid = jax.ops.segment_sum(
             W, sys.obs_point * R_g + ids, num_segments=n_points * R_g
         ).reshape(n_points, R_g, 3, 6)
         part = grid.transpose(0, 2, 1, 3).reshape(n_points, 3, 6 * R_g)
-        E = E.at[:, :, off: off + 6 * R_g].add(part)
+        E = E.at[:, :, flat_off: flat_off + 6 * R_g].add(part)
     return E
 
 
 def reduced_rhs(sys: SchurSystem, binv: jnp.ndarray) -> jnp.ndarray:
     """-g_c + E^T B~^-1 g_p (local part; psum across shards if distributed)."""
+    jp, jc = sys_jp(sys), sys_jc(sys)
     w_g = jnp.einsum("pij,pj->pi", binv, sys.g_p)
-    t_g = jnp.einsum("mri,mi->mr", sys.j_point, w_g[sys.obs_point])
-    return -sys.g_c + cam_accumulate(
-        sys, jnp.einsum("mrc,mr->mc", sys.j_cam, t_g)
-    )
+    t_g = _jp_dot(jp, w_g[sys.obs_point])
+    return -sys.g_c + cam_accumulate(sys, _jc_r(jc, t_g))
 
 
 def back_substitute(
     sys: SchurSystem, binv: jnp.ndarray, dc: jnp.ndarray
 ) -> jnp.ndarray:
     """dp = -B~^-1 (g_p + E dc)."""
-    t_dc = jnp.einsum("mrc,mc->mr", sys.j_cam, dc[sys.cols])
+    jp, jc = sys_jp(sys), sys_jc(sys)
+    t_dc = _jc_dot(jc, dc[sys_cols(sys)])
     e_dc = jax.ops.segment_sum(
-        jnp.einsum("mri,mr->mi", sys.j_point, t_dc),
-        sys.obs_point,
-        num_segments=sys.g_p.shape[0],
-    )
+        _jp_r(jp, t_dc), sys.obs_point, num_segments=sys.g_p.shape[0])
     dp = -jnp.einsum("pij,pj->pi", binv, sys.g_p + e_dc)
     return dp * sys.point_free
 
@@ -232,18 +313,20 @@ def hcc_dense(sys: SchurSystem) -> jnp.ndarray:
     so the segment-sum output reshapes straight into the dense block matrix —
     no arbitrary-index scatter)."""
     n_cam = sys.g_c.shape[0]
-    hcc = jnp.zeros((n_cam, n_cam), sys.r.dtype)
+    jc = sys_jc(sys)
+    hcc = jnp.zeros((n_cam, n_cam), sys.jrc.dtype)
     groups = _groups(sys)
-    for ids1, R1, sl1, off1 in groups:
-        for ids2, R2, sl2, off2 in groups:
-            blocks = jnp.einsum(
-                "mri,mrj->mij", sys.j_cam[:, :, sl1], sys.j_cam[:, :, sl2]
-            )
+    for ids1, R1, off1, flat1 in groups:
+        a0, a1 = _jc_group(jc, off1)
+        for ids2, R2, off2, flat2 in groups:
+            b0, b1 = _jc_group(jc, off2)
+            blocks = _outer_cols(a0, a1, b0, b1)            # (M, 36)
             grid = jax.ops.segment_sum(
                 blocks, ids1 * R2 + ids2, num_segments=R1 * R2
             ).reshape(R1, R2, 6, 6)
             dense = grid.transpose(0, 2, 1, 3).reshape(6 * R1, 6 * R2)
-            hcc = hcc.at[off1: off1 + 6 * R1, off2: off2 + 6 * R2].add(dense)
+            hcc = hcc.at[flat1: flat1 + 6 * R1,
+                         flat2: flat2 + 6 * R2].add(dense)
     return hcc
 
 
@@ -259,17 +342,17 @@ def block_jacobi_preconditioner(sys: SchurSystem, cam_aug: jnp.ndarray):
     ITERATIVE_SCHUR). Frozen coordinates get identity rows so the operator
     stays SPD and acts as I on them."""
     R, K = sys.n_ext_rows, sys.n_intr
-    ext = jax.ops.segment_sum(
-        jnp.einsum("mri,mrj->mij", sys.j_cam[:, :, 0:6], sys.j_cam[:, :, 0:6]),
-        sys.obs_outer, num_segments=R,
-    ) + jax.ops.segment_sum(
-        jnp.einsum("mri,mrj->mij", sys.j_cam[:, :, 6:12], sys.j_cam[:, :, 6:12]),
-        sys.obs_inner, num_segments=R,
-    )
-    intr = jax.ops.segment_sum(
-        jnp.einsum("mri,mrj->mij", sys.j_cam[:, :, 12:18], sys.j_cam[:, :, 12:18]),
-        sys.obs_intr, num_segments=K,
-    )
+    jc = sys_jc(sys)
+
+    def group_blocks(off, ids, n):
+        a0, a1 = _jc_group(jc, off)
+        return jax.ops.segment_sum(
+            _outer_cols(a0, a1, a0, a1), ids, num_segments=n
+        ).reshape(n, 6, 6)
+
+    ext = (group_blocks(0, sys.obs_outer, R)
+           + group_blocks(6, sys.obs_inner, R))
+    intr = group_blocks(12, sys.obs_intr, K)
     blocks = jnp.concatenate([ext, intr], axis=0)        # (R + K, 6, 6)
     aug = cam_aug.reshape(R + K, 6)
     frozen = 1.0 - sys.cam_free.reshape(R + K, 6)
@@ -325,7 +408,6 @@ def j_times(
     sys: SchurSystem, dp: jnp.ndarray, dc: jnp.ndarray
 ) -> jnp.ndarray:
     """J [dp; dc] per observation (M, 2) — for the model-cost-change test."""
-    return (
-        jnp.einsum("mri,mi->mr", sys.j_point, dp[sys.obs_point])
-        + jnp.einsum("mrc,mc->mr", sys.j_cam, dc[sys.cols])
-    )
+    jp, jc = sys_jp(sys), sys_jc(sys)
+    return (_jp_dot(jp, dp[sys.obs_point])
+            + _jc_dot(jc, dc[sys_cols(sys)]))

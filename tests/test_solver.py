@@ -103,18 +103,20 @@ def test_schur_step_matches_dense_normal_equations():
     dp, dc = solve_schur(sys, radius, opts)
 
     # dense reference solve
+    from deeparc_tpu.solver.schur import sys_cols, sys_jc, sys_jp, sys_r
+
     M = scene.n_obs
     P = 3 * N + C
     J = np.zeros((2 * M, P))
-    jp = np.asarray(sys.j_point)
-    jc = np.asarray(sys.j_cam)
+    jp = np.asarray(sys_jp(sys)).reshape(M, 2, 3)
+    jc = np.asarray(sys_jc(sys)).reshape(M, 2, 18)
     op = np.asarray(sys.obs_point)
-    cl = np.asarray(sys.cols)
+    cl = np.asarray(sys_cols(sys))
     for m in range(M):
         J[2 * m: 2 * m + 2, 3 * op[m]: 3 * op[m] + 3] = jp[m]
         for j in range(18):
             J[2 * m: 2 * m + 2, 3 * N + cl[m, j]] += jc[m, :, j]
-    r = np.asarray(sys.r).reshape(-1)
+    r = np.asarray(sys_r(sys)).reshape(-1)
     g = J.T @ r
     H = J.T @ J
     d2 = np.clip(np.diag(H), opts.min_lm_diagonal, opts.max_lm_diagonal)
