@@ -718,14 +718,14 @@ def measure_scaling(args) -> dict:
     real chips; the code path is identical (parallel/multihost.py).
     Run in subprocesses so XLA_FLAGS takes effect.
     """
-    out = {}
+    out, out_iter = {}, {}
     n_points = args.n_points or 4096
     for n_dev in (1, 2, 4, 8):
         code = f"""
 import os
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count={n_dev}").strip()
-import json, time
+import dataclasses, json, time
 import jax
 jax.config.update("jax_platforms", "cpu")
 from deeparc_tpu.config import SolverOptions
@@ -741,9 +741,12 @@ rig = make_hemisphere_rig(n_arc=6, n_ring=16, n_points={n_points},
 scene = from_deeparc(rig.data, dtype=jnp.float32)
 free = freeze_masks(scene)
 grid = grid_from_scene(scene)
+# negative tolerances: no convergence test can fire (this easy probe
+# problem otherwise converges to bit-identical cost within ~4 iters and
+# the 13-vs-3-iteration difference would measure nothing)
 opts = SolverOptions(max_iterations=3, min_relative_decrease=-1.0,
-                     function_tolerance=0.0, gradient_tolerance=0.0,
-                     parameter_tolerance=0.0)
+                     function_tolerance=-1.0, gradient_tolerance=-1.0,
+                     parameter_tolerance=-1.0)
 mesh = make_mesh({n_dev})
 solve_ba_grid_sharded(scene.params, grid, free, opts, mesh, chunk_size=1024)
 t0 = time.time()
@@ -751,7 +754,19 @@ reps = 3
 for _ in range(reps):
     solve_ba_grid_sharded(scene.params, grid, free, opts, mesh,
                           chunk_size=1024)
-print(json.dumps({{"t": (time.time() - t0) / reps}}))
+t3 = (time.time() - t0) / reps
+# isolate the per-ITERATION steady-state cost from the per-solve constants
+# (host-side shard prep, dispatch, init): a 13-iteration solve differs from
+# the 3-iteration one by exactly 10 while_loop iterations
+opts13 = dataclasses.replace(opts, max_iterations=13)
+solve_ba_grid_sharded(scene.params, grid, free, opts13, mesh,
+                      chunk_size=1024)
+t0 = time.time()
+for _ in range(reps):
+    solve_ba_grid_sharded(scene.params, grid, free, opts13, mesh,
+                          chunk_size=1024)
+t13 = (time.time() - t0) / reps
+print(json.dumps({{"t": t3, "t_iter": (t13 - t3) / 10.0}}))
 """
         r = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
@@ -759,10 +774,21 @@ print(json.dumps({{"t": (time.time() - t0) / reps}}))
         )
         if r.returncode != 0:
             raise RuntimeError(f"scaling probe n={n_dev}: {r.stderr[-800:]}")
-        out[n_dev] = json.loads(r.stdout.strip().splitlines()[-1])["t"]
+        j = json.loads(r.stdout.strip().splitlines()[-1])
+        out[n_dev] = j["t"]
+        out_iter[n_dev] = j["t_iter"]
     t1 = out[1]
     overhead = {n: t / t1 for n, t in out.items()}
-    return dict(seconds=out, overhead=overhead)
+    ti1 = out_iter[1]
+    overhead_iter = {n: t / ti1 for n, t in out_iter.items()}
+    # per-iteration collective payload (triu-packed symmetric psums):
+    # hcc + Schur correction (C(C+1)/2 each) + g_c/rhs (C) + LM scalars
+    R = 6 + 16 - 1 + 1
+    C = 6 * (R + 6)
+    payload = (2 * C * (C + 1) // 2 + 2 * C + 8) * 4
+    return dict(seconds=out, overhead=overhead,
+                seconds_per_iter=out_iter, overhead_per_iter=overhead_iter,
+                psum_bytes_per_iter=payload)
 
 
 def cpu_baseline(args) -> float:
@@ -993,14 +1019,27 @@ def main(argv=None) -> int:
             "unit": "x_single_device_time",
             "vs_baseline": None,
             "detail": {
-                "note": "virtual shared-core mesh: devices cannot speed up "
-                        "compute; this is the sharded implementation's "
-                        "overhead at equal total work. Real scaling "
+                "note": "virtual shared-core mesh: 8 'devices' time-share "
+                        "the host's 2 physical cores, so run-to-run "
+                        "variance (r3: 0.51-0.67x; here within one run the "
+                        "4-dev point beats 1-dev) exceeds the software "
+                        "overhead being measured — the residual curve is "
+                        "core oversubscription, not collectives: the "
+                        "per-iteration psum payload is psum_bytes_per_iter "
+                        "(triu-packed symmetric camera system, ~115 KB) "
+                        "regardless of device count. Real scaling "
                         "efficiency requires real chips (multihost.py).",
                 "seconds": {str(k): round(v, 4)
                             for k, v in result["seconds"].items()},
                 "overhead": {str(k): round(v, 4)
                              for k, v in result["overhead"].items()},
+                "seconds_per_iter": {
+                    str(k): round(v, 4)
+                    for k, v in result["seconds_per_iter"].items()},
+                "overhead_per_iter": {
+                    str(k): round(v, 4)
+                    for k, v in result["overhead_per_iter"].items()},
+                "psum_bytes_per_iter": result["psum_bytes_per_iter"],
             },
         }))
         return 0

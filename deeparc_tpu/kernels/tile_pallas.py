@@ -40,13 +40,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# the sweep kernel unrolls the slot loop; wider buckets (rare) fall back to
-# the XLA sweep (solver/tiles._e_sweep)
-MAX_KERNEL_WIDTH = 32
+# the sweep kernel unrolls the slot loop; wider buckets (the heavy tail of
+# a real track distribution — a small observation share) fall back to the
+# XLA sweep (solver/tiles._e_sweep)
+MAX_KERNEL_WIDTH = 64
 
 # the fused linearize kernel additionally unrolls the 171-entry Hessian
 # pack per slot; cap its width lower to bound compile time
-MAX_LIN_WIDTH = 16
+MAX_LIN_WIDTH = 32
 
 _TRIU_I, _TRIU_J = [list(ix) for ix in np.triu_indices(18)]
 

@@ -608,10 +608,24 @@ def make_grid_step(options: SolverOptions, template: BAParams,
     from deeparc_tpu.solver.ba import StepInfo
 
     if axis is None:
-        allsum = allmax = lambda x: x
+        allsum = allmax = allsum_sym = lambda x: x
     else:
         allsum = lambda x: jax.lax.psum(x, axis)
         allmax = lambda x: jax.lax.pmax(x, axis)
+
+        def allsum_sym(m):
+            """psum a symmetric (C, C) matrix triu-packed: H_cc and the
+            Schur correction are the step's big collectives — packing
+            moves (C+1)/(2C) of the bytes (VERDICT r3 item 7)."""
+            n = m.shape[-1]
+            iu = np.triu_indices(n)
+            packed = jax.lax.psum(m[..., iu[0], iu[1]], axis)
+            # build from fresh zeros (not zeros_like(m)): the unreduced
+            # operand is axis-varying under shard_map and would taint the
+            # reduced result's invariance
+            out = jnp.zeros((n, n), m.dtype).at[iu[0], iu[1]].set(packed)
+            diag = out * jnp.eye(n, dtype=m.dtype)
+            return out + jnp.swapaxes(out, -1, -2) - diag
 
     # banded pallas with frozen intrinsics: E comes back EXT-ONLY (N,3,6R)
     # — the intrinsic columns are identically zero and never materialized
@@ -663,7 +677,7 @@ def make_grid_step(options: SolverOptions, template: BAParams,
             band_width=band_widths[0], band_block=band_blocks[0],
             band_intr_frozen=band_intr_frozen,
         )
-        sys = sys._replace(g_c=allsum(sys.g_c), hcc=allsum(sys.hcc),
+        sys = sys._replace(g_c=allsum(sys.g_c), hcc=allsum_sym(sys.hcc),
                            cost=allsum(sys.cost))
 
         # augmented per-point blocks
@@ -686,7 +700,7 @@ def make_grid_step(options: SolverOptions, template: BAParams,
                                         sys.g_p)))
         ) * cam_free
         corr = to_flat(
-            allsum(jnp.einsum("pic,pij,pjd->cd", sys.E, binv, sys.E)))
+            allsum_sym(jnp.einsum("pic,pij,pjd->cd", sys.E, binv, sys.E)))
         S = sys.hcc + jnp.diag(cam_aug) - corr
         dc = masked_spd_solve(S, rhs, cam_free)
 

@@ -1433,12 +1433,27 @@ def make_tile_step(options: SolverOptions, template: BAParams,
                 hcc_diag=cells_to_flat(
                     jnp.diagonal(hcc, axis1=-2, axis2=-1), cols, C),
             )
-        sys = sys._replace(
-            cost=allsum(sys.cost),
-            g_c=allsum(sys.g_c),
-            hcc_cells=allsum(sys.hcc_cells),
-            hcc_diag=allsum(sys.hcc_diag),
-        )
+        if axis is None:
+            sys = sys._replace(
+                cost=allsum(sys.cost),
+                g_c=allsum(sys.g_c),
+                hcc_cells=allsum(sys.hcc_cells),
+                hcc_diag=allsum(sys.hcc_diag),
+            )
+        else:
+            # psum the SYMMETRIC cell Grams triu-packed: the (V, 18, 18)
+            # Grams are the step's dominant collective payload (~5 MB at
+            # V=2000 f32); packing moves 171/324 of the bytes, and the
+            # flat diagonal is re-derived locally from the reduced Grams
+            # instead of its own psum (VERDICT r3 item 7)
+            hcc_cells = _sym_unpack(allsum(_sym_pack(sys.hcc_cells)))
+            sys = sys._replace(
+                cost=allsum(sys.cost),
+                g_c=allsum(sys.g_c),
+                hcc_cells=hcc_cells,
+                hcc_diag=cells_to_flat(
+                    jnp.diagonal(hcc_cells, axis1=-2, axis2=-1), cols, C),
+            )
 
         # augmented per-point blocks
         diag = jnp.diagonal(sys.hpp, axis1=-2, axis2=-1)
