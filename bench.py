@@ -553,9 +553,12 @@ def _time_to_rmse_tiles(args) -> dict:
 
     n_pts = args.n_points or (4_000 if args.quick else 1_000_000)
     n_cam = 64 if args.quick else 2000
+    # 5x the throughput rows' structure noise: the convergence row should
+    # demonstrate real multi-iteration trust-region work, not a one-step
+    # quadratic hop
     params, tiles, _, cam_free = make_bal_tile_device(
         n_cameras=n_cam, n_points=n_pts, track_length=8,
-        pixel_noise=1.0, point_noise=0.02, seed=0, dtype=jnp.float32,
+        pixel_noise=1.0, point_noise=0.1, seed=0, dtype=jnp.float32,
         window=None if args.bal_random else args.window,
     )
     n_ext = params.ext_rot.shape[0]

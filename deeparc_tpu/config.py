@@ -81,6 +81,10 @@ class PipelineOptions:
     engine: str = "auto"
     # mesh size for the *-sharded engines (None = all visible devices)
     devices: int | None = None
+    # tiles engine: storage dtype for the per-slot Jacobian planes the PCG
+    # sweeps re-read every iteration ("bf16" halves the sweeps' HBM
+    # traffic; accumulation stays f32 — see solver/tiles.make_tile_step)
+    sweep_dtype: str | None = None
     # kernel implementation inside the chosen engine. 'auto' = the fused
     # Pallas kernels on a real TPU backend (grid: impl='pallas', tiles:
     # impl='pallas'), the portable XLA paths elsewhere; or force

@@ -70,7 +70,8 @@ def _sweep_kernel(cell_ref, jcam_ref, jx_ref, binv_ref, gp_ref, v_ref,
 
     jcam/jx planes may be stored bf16 (HBM-traffic halving — the sweeps
     are the step's bandwidth hot spot); all arithmetic accumulates in the
-    f32 working dtype taken from binv."""
+    f32 working dtype taken from binv (see _sweep_local_kernel on why the
+    matmul operands stay f32)."""
     dtype = binv_ref.dtype
     block = cell_ref.shape[1]
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (Vp, block), 0)
@@ -136,8 +137,13 @@ def _sweep_local_kernel(cell_ref, jcam_ref, jx_ref, binv_ref, gp_ref, v_ref,
     cell list (TileBucket.loc), so the per-slot MXU work drops by V/V_local
     versus the global kernel. ``v_ref`` is this chunk's pre-gathered local
     v table (18, Vl); ``out_ref`` the chunk's local bins (Vl, 18),
-    accumulated over the bpc lane-blocks of the chunk. jcam/jx may be
-    stored bf16 (traffic halving); accumulation stays in binv's f32."""
+    accumulated over the bpc lane-blocks of the chunk.
+
+    jcam/jx may be stored bf16 (halves the sweeps' HBM traffic); all
+    arithmetic — including the one-hot matmuls — accumulates in binv's
+    f32. (Running the matmuls with bf16 OPERANDS was measured slightly
+    slower on the v5e and noisier: the sweeps are payload-bound on the
+    18-wide output, not matmul-rate-bound.)"""
     dtype = binv_ref.dtype
     block = cell_ref.shape[1]
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (Vl, block), 0)

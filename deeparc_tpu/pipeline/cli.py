@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=None,
                    help="mesh size for the *-sharded engines "
                         "(default: all visible devices)")
+    p.add_argument("--sweep-dtype", default=None, choices=["f32", "bf16"],
+                   help="tiles engine: bf16 stores the per-slot Jacobian "
+                        "planes the PCG sweeps re-read each iteration in "
+                        "half the HBM bytes (accumulation stays f32)")
     p.add_argument("--impl", default="auto",
                    choices=["auto", "pallas", "planes", "einsum", "xla"],
                    help="kernel implementation inside the engine (auto = "
@@ -136,6 +140,7 @@ def main(argv=None) -> int:
         engine=args.engine,
         impl=args.impl,
         devices=args.devices,
+        sweep_dtype=args.sweep_dtype,
     )
     dtype = jnp.float32 if args.f32 else jnp.float64
     result = run_pipeline(

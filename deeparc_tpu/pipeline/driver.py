@@ -281,9 +281,11 @@ def run_pipeline(
                 return solve_ba_tiles_sharded(
                     params_cur, tiles_cur, free_rows, cam_free,
                     options.solver, mesh=mesh)
+            sd = (jnp.bfloat16 if options.sweep_dtype == "bf16" else None)
             return solve_tiles_prepared(
                 params_cur, tiles_cur, free_rows, cam_free, options.solver,
                 impl=tile_impl, unpermute=False, _cache=solve_cache,
+                sweep_dtype=sd,
             )
 
         def run_filter(tiles_cur, params_cur):

@@ -1649,6 +1649,7 @@ def solve_tiles_prepared(
     driver: str = "python",
     chunk_obs: int = CHUNK_OBS,
     impl: str = "xla",
+    sweep_dtype=None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,
@@ -1683,7 +1684,7 @@ def solve_tiles_prepared(
     cache = _cache if _cache is not None else {}
     if "step" not in cache:
         cache["step"] = make_tile_step(options, params_t, chunk_obs,
-                                       impl=impl)
+                                       impl=impl, sweep_dtype=sweep_dtype)
     step = cache["step"]
     state = init_tile_state(params_t, tiles, options, cam_free,
                             chunk_obs=chunk_obs)

