@@ -63,6 +63,20 @@ def test_band_prep_invariants(problem):
     assert np.isclose(mask.sum(), np.asarray(grid.mask).sum())
 
 
+def test_band_grid_declines_without_locality():
+    """Dense and uniform-random masks must fall back to the monolithic
+    kernels (banding is an optimization, never a requirement)."""
+    params_d, grid_d, _ = make_grid_rig_device(
+        n_arc=3, n_ring=16, n_points=256, occlusion_rings=None,
+        visibility=None, seed=1, dtype=jnp.float64)
+    assert band_grid(grid_d, block_np=64) is None          # dense
+
+    params_r, grid_r, _ = make_grid_rig_device(
+        n_arc=3, n_ring=16, n_points=256, occlusion_rings=None,
+        visibility=0.2, seed=1, dtype=jnp.float64)
+    assert band_grid(grid_r, block_np=64) is None          # uniform random
+
+
 def _free_tables(grid, dtype):
     T = grid.mask.shape[1]
     ones = jnp.ones((T, 6), dtype)
