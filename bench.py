@@ -16,12 +16,15 @@ update — the same unit Ceres reports per line of its minimizer progress.
 
 Engines / configs:
   --engine grid   dense (N x cells) rig engine. Default config is the
-                  SPARSE-visibility rig (mean track ~10 of 192 cells —
-                  ~19x masked overcompute, kept for cross-round
-                  comparability); --dense benches the full-visibility rig
-                  where the grid premise holds (every slot live).
-  --engine tiles  the general-sparsity tile engine on the same sparse rig,
-                  laid out with zero masked waste (solver/tiles.py).
+                  SPARSE-visibility rig with occlusion-windowed visibility
+                  (mean track ~10; each point visible from a cyclic window
+                  of turntable steps — what a real capture has), solved
+                  with the live-band kernels (solver/rig_band.py);
+                  --sparse-random keeps the uniform-random no-locality
+                  worst case; --dense benches the full-visibility rig
+                  where every slot is live.
+  --engine tiles  the general-sparsity tile engine (BAL configs: --bal /
+                  --bal-heavytail / --bal-random; --sweep-dtype bf16).
   --engine indexed  the observation-list engine (gather/segment-sum bound).
 
 The JSON detail includes ``live_obs_per_sec`` (live observations x iter/s —
@@ -494,12 +497,13 @@ def _rmse_trace_loop(args, state, hist, run_block, run_args, n_live,
     import numpy as np
 
     rmse0 = float(np.sqrt(2.0 * float(state.cost) / n_live))
+    costs_of = lambda h: h[0] if h.ndim == 2 else h   # row 1 = PCG iters
     t0 = time.time()
     t_hit, k_hit = None, None
     t_prev, k_prev = 0.0, 0
     while int(state.status) == 0 and int(state.k) < max_iterations:
         state, hist = run_block(state, hist, *run_args)
-        np_hist = np.asarray(hist)                 # tiny fetch, forces sync
+        np_hist = costs_of(np.asarray(hist))       # tiny fetch, forces sync
         now = time.time() - t0
         k_now = int(state.k)
         if t_hit is None and k_now > k_prev:
@@ -515,14 +519,15 @@ def _rmse_trace_loop(args, state, hist, run_block, run_args, n_live,
         t_prev, k_prev = now, k_now
         # keep going to convergence so final_rmse is the true floor
     total_s = time.time() - t0
-    np_hist = np.asarray(hist)[: int(state.k) + 1]
+    full_hist = np.asarray(hist)
+    np_hist = costs_of(full_hist)[: int(state.k) + 1]
     history = [
         (k, round(float(np.sqrt(2.0 * c / n_live)), 4))
         for k, c in enumerate(np_hist) if c >= 0
     ]
     import jax
 
-    return dict(
+    out = dict(
         time_to_rmse_s=t_hit, iters_to_rmse=k_hit,
         target_rmse=args.target_rmse,
         initial_rmse=round(rmse0, 4), final_rmse=history[-1][1],
@@ -531,6 +536,13 @@ def _rmse_trace_loop(args, state, hist, run_block, run_args, n_live,
         n_obs=int(n_live), history=history,
         platform=jax.devices()[0].platform, impl=impl,
     )
+    if full_hist.ndim == 2:
+        cg = full_hist[1][1: int(state.k) + 1]
+        cg = cg[cg >= 0]
+        if cg.size:
+            out["cg_iters_mean"] = round(float(cg.mean()), 1)
+            out["cg_iters_max"] = int(cg.max())
+    return out
 
 
 def _time_to_rmse_tiles(args) -> dict:
@@ -583,10 +595,14 @@ def _time_to_rmse_tiles(args) -> dict:
 
     @jax.jit
     def run_block(s, hist, t, cf, pf):
+        # hist row 0: post-iteration cost; row 1: PCG iterations the
+        # linear solve used (VERDICT r3 item 5: "PCG iterations used")
         def body(carry):
             st, h = carry
             st2, info = t_step(st, t, cf, pf)
-            return st2, h.at[st2.k].set(info.cost)
+            h = h.at[0, st2.k].set(info.cost)
+            h = h.at[1, st2.k].set(info.cg_iters.astype(h.dtype))
+            return st2, h
 
         return jax.lax.while_loop(
             lambda c: (c[0].status == 0) & (c[0].k < s.k + block),
@@ -595,8 +611,8 @@ def _time_to_rmse_tiles(args) -> dict:
 
     n_live = float(sum(float(jnp.sum(b.mask)) for b in tiles.buckets))
     state = init_tile_state(params, tiles, options, cam_free)
-    hist = jnp.full((hist_len,), -1.0,
-                    state.cost.dtype).at[0].set(state.cost)
+    hist = jnp.full((2, hist_len), -1.0,
+                    state.cost.dtype).at[0, 0].set(state.cost)
 
     t_c = time.time()
     probe = run_block(state, hist, tiles, cam_free, point_free)
@@ -1009,7 +1025,8 @@ def main(argv=None) -> int:
                     "iters_to_rmse", "target_rmse", "initial_rmse",
                     "final_rmse", "total_iterations", "total_s", "status",
                     "compile_s", "n_obs", "platform", "impl", "history",
-                )
+                    "cg_iters_mean", "cg_iters_max",
+                ) if k in result
             },
         }))
         return 0

@@ -62,6 +62,9 @@ class StepInfo(NamedTuple):
     radius: jnp.ndarray
     rho: jnp.ndarray
     accepted: jnp.ndarray
+    # PCG iterations the linear solve actually used (iterative engines
+    # under a real cg_tolerance; -1 where not applicable)
+    cg_iters: jnp.ndarray | int = -1
 
 
 class BAResult(NamedTuple):

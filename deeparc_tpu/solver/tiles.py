@@ -1504,6 +1504,7 @@ def make_tile_step(options: SolverOptions, template: BAParams,
             max_iterations=options.cg_max_iterations,
             tol=options.cg_tolerance,
         )
+        cg_used = result.iterations
         dc = result.x * cam_free
 
         dc_cells = flat_to_cells(dc, cols)
@@ -1572,7 +1573,7 @@ def make_tile_step(options: SolverOptions, template: BAParams,
         info = StepInfo(
             cost=cost_next, cost_change=cost_change, grad_max=grad_max,
             step_norm=step_norm, radius=state.tr.radius, rho=rho,
-            accepted=accept,
+            accepted=accept, cg_iters=cg_used,
         )
         return next_state, info
 
