@@ -815,6 +815,7 @@ def solve_ba_grid(
     resume: bool = False,
     logger=None,
     while_block: int = 10,
+    band: str = "auto",
 ):
     """LM to convergence on the grid engine. Returns a solver.ba.BAResult.
 
@@ -828,16 +829,50 @@ def solve_ba_grid(
       ``while_block``-sized ``lax.while_loop`` dispatches with the
       wall-clock budget (and optional checkpointing) enforced on the host
       between blocks.
+
+    ``band='auto'`` (pallas impl only) runs the live-band prep
+    (solver/rig_band.py) on the visibility mask and solves with the banded
+    kernels when it finds locality — the pipeline's solve/filter loop gets
+    the banded speedup transparently (points are permuted internally and
+    un-permuted on every exit surface incl. checkpoints); ``band='none'``
+    disables.
     """
     import time as _time
 
     from deeparc_tpu.residuals.reprojection import flatten_camera
     from deeparc_tpu.solver.ba import BAResult
 
+    band_widths = band_blocks = (0, 0)
+    band_prep = None
+    intr_frozen = False
+    if band == "auto" and impl == "pallas":
+        from deeparc_tpu.solver.rig_band import band_grid
+
+        prep = band_grid(grid)
+        if prep is not None:
+            band_prep = prep
+            grid = prep.grid
+            params = dataclasses.replace(
+                params, points=params.points[prep.perm])
+            free = dataclasses.replace(
+                free, points=free.points[prep.perm])
+            band_widths, band_blocks = prep.widths
+            # all intrinsic columns frozen -> ext-only E (sfm.cc:60-62 is
+            # the reference's standard BA mode)
+            n_ext_rows = params.ext_rot.shape[0]
+            intr_frozen = not bool(np.any(np.asarray(
+                flatten_camera(free))[6 * n_ext_rows:]))
+    unperm = ((lambda pts: pts) if band_prep is None
+              else (lambda pts: pts[band_prep.inv]))
+
     cam_free = flatten_camera(free)
     point_free = free.points
-    step = make_grid_step(options, params, chunk_size, impl=impl)
-    state = init_grid_state(params, grid, options, impl=impl)
+    step = make_grid_step(options, params, chunk_size, impl=impl,
+                          band_widths=band_widths, band_blocks=band_blocks,
+                          band_intr_frozen=intr_frozen)
+    state = init_grid_state(params, grid, options, impl=impl,
+                            band_widths=band_widths,
+                            band_blocks=band_blocks)
     start_iter = 0
     if resume and checkpoint_path:
         import os as _os
@@ -847,10 +882,16 @@ def solve_ba_grid(
 
             ck_params, scal = load_solver_state(
                 checkpoint_path, dtype=params.points.dtype)
+            if band_prep is not None:
+                # checkpoints live in ORIGINAL point order
+                ck_params = dataclasses.replace(
+                    ck_params, points=ck_params.points[band_prep.perm])
             sp = slot_params(ck_params, grid)
             cost_ck = grid_cost(ck_params.points, sp, grid,
                                 loss=options.loss,
-                                loss_scale=options.loss_scale, impl=impl)
+                                loss_scale=options.loss_scale, impl=impl,
+                                band_width=band_widths[1],
+                                band_block=band_blocks[1])
             state = GridState(
                 points=ck_params.points,
                 cam_vec=flatten_cam_tables(ck_params),
@@ -869,7 +910,8 @@ def solve_ba_grid(
         from deeparc_tpu.utils.checkpoint import save_solver_state
 
         save_solver_state(
-            checkpoint_path, _params_from(state.cam_vec, state.points, params),
+            checkpoint_path,
+            _params_from(state.cam_vec, unperm(state.points), params),
             float(state.tr.radius), float(state.tr.decrease_factor),
             k, float(state.cost),
         )
@@ -894,7 +936,8 @@ def solve_ba_grid(
             k = int(state.k)
             if checkpoint_path:
                 _save(state, k)
-        out_params = _params_from(state.cam_vec, state.points, params)
+        out_params = _params_from(state.cam_vec, unperm(state.points),
+                                  params)
         return BAResult(
             params=out_params, cost=float(state.cost),
             iterations=int(state.k), status=int(state.status),
@@ -929,7 +972,7 @@ def solve_ba_grid(
             )
         if checkpoint_path and k % checkpoint_every == 0:
             _save(state, k)
-    out_params = _params_from(state.cam_vec, state.points, params)
+    out_params = _params_from(state.cam_vec, unperm(state.points), params)
     return BAResult(
         params=out_params, cost=float(state.cost),
         iterations=k, status=int(state.status),

@@ -204,3 +204,38 @@ def test_banded_step_intr_frozen_ext_only_E(problem):
     np.testing.assert_allclose(s_k.points, s_p.points, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(s_k.cam_vec, s_p.cam_vec, rtol=1e-4,
                                atol=1e-6)
+
+
+def test_solve_ba_grid_band_auto_matches_planes():
+    """solve_ba_grid(band='auto', impl='pallas') on an occlusion scene:
+    banding engages internally (points permuted in, un-permuted out) and
+    the returned params must match the plane-form solve in ORIGINAL point
+    order."""
+    import dataclasses
+
+    from deeparc_tpu.config import SolverOptions
+    from deeparc_tpu.solver.rig_grid import solve_ba_grid
+
+    params, grid, _ = make_grid_rig_device(
+        n_arc=3, n_ring=16, n_points=300, occlusion_rings=4, visibility=0.9,
+        pixel_noise=0.8, point_noise=0.02, seed=7, dtype=jnp.float64,
+    )
+    C_ext = params.ext_rot.shape[0]
+    free = dataclasses.replace(
+        params,
+        points=jnp.ones_like(params.points),
+        ext_rot=jnp.ones_like(params.ext_rot).at[0].set(0.0),
+        ext_trans=jnp.ones_like(params.ext_trans).at[0].set(0.0),
+        center=jnp.zeros_like(params.center),
+        focal=jnp.zeros_like(params.focal),
+        dist=jnp.zeros_like(params.dist),
+    )
+    options = SolverOptions(linear_solver="dense_schur", max_iterations=3)
+    res_p = solve_ba_grid(params, grid, free, options, impl="planes",
+                          chunk_size=128)
+    res_b = solve_ba_grid(params, grid, free, options, impl="pallas",
+                          chunk_size=128, band="auto")
+    np.testing.assert_allclose(res_b.cost, res_p.cost, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_b.params.points),
+                               np.asarray(res_p.params.points),
+                               rtol=1e-4, atol=1e-6)
