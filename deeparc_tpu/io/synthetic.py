@@ -66,10 +66,16 @@ def make_hemisphere_rig(
     ext_noise: float = 0.0,
     random_points: bool = False,
     visibility: float = 1.0,
+    occlusion_rings: int | None = None,
     min_track_length: int = 2,
     seed: int = 0,
 ) -> SyntheticRig:
     """Build a shared-extrinsic rig problem with known ground truth.
+
+    ``occlusion_rings`` models self-occlusion (the visibility structure a
+    real turntable capture has): a surface point is only seen while the
+    turntable faces it toward the camera meridian — a contiguous cyclic
+    window of that many rotation steps. See ``make_grid_rig_device``.
 
     ``random_points=True`` reproduces the ``teabottle_green_randompoint``
     configuration (BASELINE.json config 2): structure initialized uniformly at
@@ -154,6 +160,10 @@ def make_hemisphere_rig(
 
     obs_arc, obs_ring, obs_point, obs_xy = [], [], [], []
     w_img, h_img = image_size
+    if occlusion_rings is not None:
+        d_obj = gt_points - c_obj
+        alpha = np.arctan2(d_obj[:, 0], d_obj[:, 2])
+        half_w = np.pi * occlusion_rings / n_ring
     for a in range(n_arc):
         for r in range(n_ring):
             outer, inner = cell_extrinsics(a, r)
@@ -173,6 +183,9 @@ def make_hemisphere_rig(
             u = fx * distortion * xp + cx
             v = fy * distortion * yp + cy
             in_img = z_ok & (u >= 0) & (u < w_img) & (v >= 0) & (v < h_img)
+            if occlusion_rings is not None:
+                phi = 2.0 * np.pi * r / n_ring
+                in_img &= np.cos(alpha + phi - np.pi) > np.cos(half_w)
             if visibility < 1.0:
                 in_img &= rng.uniform(size=n_points) < visibility
             idx = np.nonzero(in_img)[0]

@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--point-noise", type=float, default=0.05)
     p.add_argument("--random-points", action="store_true",
                    help="random structure init (teabottle_green_randompoint config)")
+    p.add_argument("--occlusion-rings", type=int, default=None,
+                   help="synthetic rig: self-occlusion window width in "
+                        "turntable steps (realistic visibility; the banded "
+                        "grid kernels exploit it)")
+    p.add_argument("--visibility", type=float, default=1.0,
+                   help="synthetic rig: random visibility thinning")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -106,6 +112,8 @@ def main(argv=None) -> int:
             n_arc=args.n_arc, n_ring=args.n_ring, n_points=args.n_points,
             pixel_noise=args.pixel_noise, point_noise=args.point_noise,
             random_points=args.random_points, seed=args.seed,
+            occlusion_rings=args.occlusion_rings,
+            visibility=args.visibility,
         )
         data = rig.data
         basename = args.basename or "synthetic"

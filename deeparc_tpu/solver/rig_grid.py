@@ -851,6 +851,10 @@ def solve_ba_grid(
         prep = band_grid(grid)
         if prep is not None:
             band_prep = prep
+            if options.progress_to_stdout:
+                print(f"[grid] live-band solve: w_band={prep.w_band} of "
+                      f"{grid.mask.shape[1]} cells "
+                      f"(cost pass {prep.w_band_cost})")
             grid = prep.grid
             params = dataclasses.replace(
                 params, points=params.points[prep.perm])
