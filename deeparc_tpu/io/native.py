@@ -26,7 +26,17 @@ _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
 )
-_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libdeeparc_io.so")
+# Search order: package-local _native/ (wheel installs, see pyproject
+# [tool.setuptools.package-data]) then the in-repo native/build (editable
+# installs / source checkouts, where build.sh can rebuild on demand).
+_PKG_SO_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_native", "libdeeparc_io.so",
+)
+_SO_PATH = (
+    _PKG_SO_PATH if os.path.exists(_PKG_SO_PATH)
+    else os.path.join(_NATIVE_DIR, "build", "libdeeparc_io.so")
+)
 _lib = None
 _build_failed = False
 
