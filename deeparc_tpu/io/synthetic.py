@@ -994,12 +994,18 @@ def make_bal_heavytail_device(
             radii = object_radius * jnp.cbrt(
                 jax.random.uniform(k2, (Nb_pad, 1), dtype))
             gt = direction * radii
-            cell = jax.random.randint(k3, (Nb_pad, W), 0, win, jnp.int32)
-            sort = jnp.sort(cell, axis=1)
-            dup = jnp.concatenate(
-                [jnp.zeros((Nb_pad, 1), bool), sort[:, 1:] == sort[:, :-1]],
-                axis=1)
-            local = (sort + jnp.cumsum(dup, axis=1)) % win
+            # W DISTINCT window-local camera ids per row: draw sorted values
+            # from [0, win-W] and add the rank — strictly increasing, so no
+            # duplicate (point, camera) slots can double-count an
+            # observation (the old cumsum-shift dedup could wrap onto an
+            # existing id)
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (Nb_pad, W), 1)
+            if win > W:
+                cell = jax.random.randint(
+                    k3, (Nb_pad, W), 0, win - W + 1, jnp.int32)
+                local = jnp.sort(cell, axis=1) + iota_w
+            else:
+                local = iota_w
             row_start = jnp.repeat(starts_dev, rpc)
             cell_g = local + row_start[:, None]
             mask = (jax.lax.broadcasted_iota(jnp.int32, (Nb_pad, W), 1)

@@ -222,9 +222,20 @@ def tile_sweep_local(cell_t, jcam_t, jx_t, binv_t, gp_t, v_locals,
     # largest divisor of B not above the requested block (B is normally a
     # power of two, so this loop exits immediately; odd chunk_obs choices
     # must degrade the tile size, not crash mid-solve)
+    requested_n = block_n
     block_n = min(block_n, B)
     while B % block_n:
         block_n -= 1
+    if block_n < min(requested_n, 8):
+        # a severe, otherwise-silent performance cliff: B (rows per chunk)
+        # has no divisor near the requested tile width, so the grid
+        # degenerates toward one lane per tile
+        import warnings
+
+        warnings.warn(
+            f"tile_pallas: block_n degraded to {block_n} (requested "
+            f"{requested_n}, rows-per-chunk B={B}); choose chunk_obs so "
+            f"B has a divisor >= 8", stacklevel=2)
     bpc = B // block_n
     n_tiles = Nb // block_n
 
@@ -581,9 +592,20 @@ def tile_linearize_local(pts_pack, cell_t, xy0_t, xy1_t, mask_t, tables,
     dtype = xy0_t.dtype
     # largest divisor of B not above the requested block (see
     # tile_sweep_local: user-chosen chunk_obs must not crash mid-solve)
+    requested_n = block_n
     block_n = min(block_n, B)
     while B % block_n:
         block_n -= 1
+    if block_n < min(requested_n, 8):
+        # a severe, otherwise-silent performance cliff: B (rows per chunk)
+        # has no divisor near the requested tile width, so the grid
+        # degenerates toward one lane per tile
+        import warnings
+
+        warnings.warn(
+            f"tile_pallas: block_n degraded to {block_n} (requested "
+            f"{requested_n}, rows-per-chunk B={B}); choose chunk_obs so "
+            f"B has a divisor >= 8", stacklevel=2)
     bpc = B // block_n
     n_tiles = Nb // block_n
 

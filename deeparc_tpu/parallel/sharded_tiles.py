@@ -142,6 +142,8 @@ def solve_ba_tiles_sharded(
     checkpoint_path: str | None = None,
     resume: bool = False,
     logger=None,
+    impl: str = "xla",
+    sweep_dtype=None,
 ):
     """Full tile-engine LM solve SPMD over the mesh.
 
@@ -177,7 +179,8 @@ def solve_ba_tiles_sharded(
     params_p, tiles_p, point_free_p, orig_rows = shard_tile_rows(
         params_t, tiles, point_free_t, n_shards, chunk_obs)
 
-    step = make_tile_step(options, params_p, chunk_obs, axis=axis)
+    step = make_tile_step(options, params_p, chunk_obs, axis=axis,
+                          impl=impl, sweep_dtype=sweep_dtype)
     spec = P(axis)
 
     buckets_in = tuple(

@@ -183,6 +183,8 @@ def run_pipeline(
 
         if mesh is not None and grid_impl == "pallas":
             grid_impl = "planes"   # sharded grid path runs the XLA planes
+            log("[deeparc] grid-sharded: impl pallas -> planes (the "
+                "sharded grid path runs the XLA planes kernels)")
 
         def run_solve(free):
             if mesh is not None:
@@ -272,6 +274,8 @@ def run_pipeline(
         solve_cache: dict = {}
         params_rows = params_t
 
+        sd = (jnp.bfloat16 if options.sweep_dtype == "bf16" else None)
+
         def run_solve(tiles_cur, params_cur, cam_free, free_rows):
             if mesh is not None:
                 from deeparc_tpu.parallel.sharded_tiles import (
@@ -280,8 +284,8 @@ def run_pipeline(
 
                 return solve_ba_tiles_sharded(
                     params_cur, tiles_cur, free_rows, cam_free,
-                    options.solver, mesh=mesh)
-            sd = (jnp.bfloat16 if options.sweep_dtype == "bf16" else None)
+                    options.solver, mesh=mesh, impl=tile_impl,
+                    sweep_dtype=sd)
             return solve_tiles_prepared(
                 params_cur, tiles_cur, free_rows, cam_free, options.solver,
                 impl=tile_impl, unpermute=False, _cache=solve_cache,

@@ -157,8 +157,11 @@ def jacobian_blocks_flat(params: BAParams, index: SceneIndex,
         )
 
         def per_obs(cam_slice, m, xy_one):
-            r = project_observation(cam_slice, m, xy_one)
-            jac = jax.jacfwd(project_observation)(cam_slice, m, xy_one)
+            # has_aux shares the primal evaluation with the Jacobian pass
+            # (one residual-chain trace instead of two per observation)
+            f = lambda cs: (lambda rr: (rr, rr))(
+                project_observation(cs, m, xy_one))
+            jac, r = jax.jacfwd(f, has_aux=True)(cam_slice)
             j_cam = jnp.concatenate(
                 [jac.rot_outer, jac.t_outer, jac.rot_inner, jac.t_inner,
                  jac.center, jac.focal, jac.dist], axis=-1)

@@ -46,18 +46,66 @@ from deeparc_tpu.solver.rig_grid import GridIndex
 class BandPrep(NamedTuple):
     grid: GridIndex      # cell-renumbered, point-sorted; band=(starts_lin,
     #                      starts_cost) attached
-    w_band: int          # static band width (cells) for block_np tiles
-    w_band_cost: int     # static band width for cost_block_np tiles
+    w_band: int          # max band width (cells) over lin groups (logging)
+    w_band_cost: int     # max band width over cost groups (logging)
     perm: jnp.ndarray    # (N,) sorted row i holds original point perm[i]
     inv: jnp.ndarray     # (N,) original point p sits at sorted row inv[p]
     block_np: int = 256        # point-tile width the lin table was built for
     cost_block_np: int = 1024  # point-tile width the cost table was built for
+    # width-bucketed tile groups ((w, tile_lo, tile_hi), ...): tiles are
+    # reordered so each group is a contiguous tile range paying its OWN
+    # band width instead of the global max (in-band dead work fix)
+    lin_groups: tuple = ()
+    cost_groups: tuple = ()
 
     @property
     def widths(self):
         """(band_widths, band_blocks) for make_grid_step/init_grid_state."""
-        return ((self.w_band, self.w_band_cost),
+        return ((self.lin_groups or self.w_band,
+                 self.cost_groups or self.w_band_cost),
                 (self.block_np, self.cost_block_np))
+
+    @property
+    def slot_work(self):
+        """(paid_slot_cells, uniform_slot_cells) for the lin tiling — the
+        bench's auditable 'how much dead work does the band still pay'."""
+        paid = sum(w * (hi - lo) for w, lo, hi in self.lin_groups)
+        n_tiles = self.lin_groups[-1][2] if self.lin_groups else 0
+        return paid * self.block_np, self.w_band * n_tiles * self.block_np
+
+
+def _partition_widths(covers8: np.ndarray, max_groups: int):
+    """Optimal contiguous partition of SORTED tile covers into <= max_groups
+    width buckets minimizing total paid slabs sum(n_g * max_g).
+
+    Returns the bucket width (in 8-cell slabs, >= 1) per TILE (unsorted
+    order). O(G * n^2) exact DP on the host; n_tiles is ~1e3."""
+    n = covers8.shape[0]
+    order = np.argsort(covers8, kind="stable")
+    c = np.maximum(covers8[order].astype(np.float64), 1.0)
+    # dp[g][i] = min paid slabs for sorted tiles [i, n) with <= g groups;
+    # the first group is [i, j), paying (j - i) * c[j-1]
+    dp_prev = (n - np.arange(n + 1)) * c[-1]          # <= 1 group
+    dp_prev[n] = 0.0
+    cuts = [None]  # cuts[g][i] = first cut j for <= g+1 groups
+    for _ in range(2, max_groups + 1):
+        dp = np.zeros(n + 1)
+        cut = np.full(n + 1, n, np.int64)
+        for i in range(n - 1, -1, -1):
+            v = np.arange(1, n - i + 1) * c[i:] + dp_prev[i + 1:]
+            j = int(np.argmin(v))
+            dp[i] = v[j]
+            cut[i] = i + 1 + j
+        dp_prev, _ = dp, cuts.append(cut)
+    widths_sorted = np.empty(n, np.int64)
+    g, i = len(cuts) - 1, 0
+    while i < n:
+        j = int(cuts[g][i]) if g >= 1 and cuts[g] is not None else n
+        widths_sorted[i:j] = int(c[j - 1])
+        i, g = j, max(g - 1, 0)
+    out = np.empty(n, np.int64)
+    out[order] = widths_sorted
+    return out
 
 
 def _round_up(x: int, m: int) -> int:

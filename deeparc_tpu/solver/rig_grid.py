@@ -617,9 +617,10 @@ def make_grid_step(options: SolverOptions, template: BAParams,
             """psum a symmetric (C, C) matrix triu-packed: H_cc and the
             Schur correction are the step's big collectives — packing
             moves (C+1)/(2C) of the bytes (VERDICT r3 item 7)."""
+            assert m.ndim == 2, "allsum_sym packs a single (C, C) matrix"
             n = m.shape[-1]
             iu = np.triu_indices(n)
-            packed = jax.lax.psum(m[..., iu[0], iu[1]], axis)
+            packed = jax.lax.psum(m[iu[0], iu[1]], axis)
             # build from fresh zeros (not zeros_like(m)): the unreduced
             # operand is axis-varying under shard_map and would taint the
             # reduced result's invariance
