@@ -42,6 +42,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import subprocess
@@ -93,17 +94,21 @@ def parse_args(argv=None):
                         "neighborhood)")
     p.add_argument("--chunk-size", type=int, default=8192)
     p.add_argument("--impl", default=None,
-                   choices=["planes", "einsum", "pallas", "xla"],
+                   choices=["planes", "einsum", "pallas", "xla", "dual"],
                    help="kernel implementation. grid engine: planes | "
                         "einsum | pallas (default pallas — measured 4.8x "
                         "planes on the v5e). tiles engine: xla | pallas "
-                        "(default pallas on TPU: fused VMEM sweep kernel)")
+                        "(default pallas on TPU: fused VMEM sweep kernel) "
+                        "| dual (camera-major layout, no one-hot sweeps)")
     p.add_argument("--cg-iters", type=int, default=30,
                    help="fixed PCG iterations (tiles/indexed engines)")
     p.add_argument("--sweep-dtype", default="f32", choices=["f32", "bf16"],
                    help="tiles engine: storage dtype of the per-slot "
                         "Jacobian planes the PCG sweeps read (bf16 halves "
                         "the sweeps' HBM traffic; accumulation stays f32)")
+    p.add_argument("--no-phase-split", action="store_true",
+                   help="skip the per-phase timing + VPU-roofline passes "
+                        "(they add a few compiles per row)")
     p.add_argument("--sweep-block", type=int, default=256,
                    help="tiles engine: sweep-kernel lane-block size")
     p.add_argument("--scaling", action="store_true",
@@ -161,6 +166,15 @@ def build_config(args):
         track_length=10,
         pixel_noise=1.0, point_noise=0.02, seed=0,
     )
+
+
+def band_eff_width(groups, fallback):
+    """Average paid cells per point tile for a grouped band spec (tuple of
+    (w, tile_lo, tile_hi)), an int width, or 0 -> fallback."""
+    if isinstance(groups, tuple) and groups:
+        tiles = groups[-1][2]
+        return sum(w * (hi - lo) for w, lo, hi in groups) / max(tiles, 1)
+    return groups or fallback
 
 
 def grid_flops_per_step(n_points, T, R, K, n_live, w_lin=0, w_cost=0):
@@ -259,7 +273,7 @@ def measure(args) -> dict:
     band_detail = None
 
     valid_impls = {"grid": {"planes", "einsum", "pallas"},
-                   "tiles": {"xla", "pallas"},
+                   "tiles": {"xla", "pallas", "dual"},
                    "indexed": set()}
     if args.impl is not None and args.impl not in valid_impls[args.engine]:
         raise SystemExit(
@@ -300,8 +314,15 @@ def measure(args) -> dict:
                 params = _dc.replace(params,
                                      points=params.points[prep.perm])
                 band_widths, band_blocks = prep.widths
+                paid_lin, uniform_lin = prep.slot_work
                 band_detail = {"w_band": prep.w_band,
                                "w_band_cost": prep.w_band_cost,
+                               "lin_groups": list(map(list, prep.lin_groups)),
+                               "cost_groups": list(map(list, prep.cost_groups)),
+                               "w_lin_eff": round(band_eff_width(
+                                   band_widths[0], 0), 1),
+                               "w_cost_eff": round(band_eff_width(
+                                   band_widths[1], 0), 1),
                                "t_cells": int(grid.mask.shape[1])}
         n_ext_rows = params.ext_rot.shape[0]
         K = params.center.shape[0]
@@ -333,10 +354,12 @@ def measure(args) -> dict:
         n_obs_real = int(jnp.sum(grid.mask))
         n_points_real = cfg["n_points"]
         T = cfg["n_arc"] * cfg["n_ring"]
-        slot_obs = cfg["n_points"] * (band_widths[0] or T)
+        w_lin_eff = band_eff_width(band_widths[0], T)
+        w_cost_eff = band_eff_width(band_widths[1], T)
+        slot_obs = int(cfg["n_points"] * w_lin_eff)
         est_flops = grid_flops_per_step(
             cfg["n_points"], T, n_ext_rows, K, n_obs_real,
-            band_widths[0], band_widths[1])
+            w_lin_eff, w_cost_eff)
     elif args.engine == "tiles":
         from deeparc_tpu.solver.tiles import (
             init_tile_state, make_tile_step,
@@ -375,6 +398,10 @@ def measure(args) -> dict:
                 point_noise=cfg["point_noise"],
                 seed=cfg["seed"], dtype=jnp.float32,
             )
+        if args.impl == "dual":
+            from deeparc_tpu.solver.tiles import with_cam_layout
+
+            tiles = with_cam_layout(tiles)
         n_ext_rows = params.ext_rot.shape[0]
         cam_free = cam_free.at[: 6].set(0.0)                  # gauge ext 0
         cam_free = cam_free.at[6 * (n_ext_rows - 1): 6 * n_ext_rows].set(0.0)
@@ -475,6 +502,95 @@ def measure(args) -> dict:
     out["useful_tflops"] = useful * ips / 1e12
     if est_flops is not None:
         out["est_tflops"] = est_flops * ips / 1e12
+
+    # ---- auditable phase split + VPU placement (VERDICT r4 item 4) ----
+    if args.engine == "grid" and not args.no_phase_split:
+        from deeparc_tpu.solver import rig_grid as _rg
+
+        bw, bb = band_widths, band_blocks
+        intr_frozen = True   # this bench config always freezes intrinsics
+
+        @jax.jit
+        def _lin_pass(points, g, cf, pf):
+            sp = _rg.slot_params(params, g)
+            sys = _rg.assemble_grid_system(
+                points, sp, g, cf, pf, args.chunk_size, impl=args.impl,
+                band_width=bw[0], band_block=bb[0],
+                band_intr_frozen=intr_frozen)
+            return sys.cost
+
+        @jax.jit
+        def _cost_pass(points, g):
+            sp = _rg.slot_params(params, g)
+            return _rg.grid_cost(points, sp, g, impl=args.impl,
+                                 band_width=bw[1], band_block=bb[1])
+
+        def _time(fn, *a, reps=max(args.iters // 2, 3)):
+            float(fn(*a))            # compile + warm
+            float(fn(*a))
+            t0 = time.time()
+            for _ in range(reps):
+                r = fn(*a)
+            float(r)
+            return (time.time() - t0) / reps
+
+        lin_s = _time(_lin_pass, state.points, grid, cam_free, point_free)
+        cost_s = _time(_cost_pass, state.points, grid)
+        step_s = dt / args.iters
+        out["phase_split"] = {
+            "linearize_ms": round(lin_s * 1e3, 3),
+            "cost_pass_ms": round(cost_s * 1e3, 3),
+            # one accepted LM step = linearize + 1 trial cost + Schur/TR
+            "schur_tr_other_ms": round(
+                (step_s - lin_s - cost_s) * 1e3, 3),
+            "step_ms": round(step_s * 1e3, 3),
+        }
+        # VPU placement of the linearize (the dense plane algebra is
+        # elementwise; scripts/vpu_roofline.py measures the issue ceiling)
+        try:
+            import importlib.util as _ilu
+
+            spec = _ilu.spec_from_file_location(
+                "vpu_roofline", os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts", "vpu_roofline.py"))
+            vr = _ilu.module_from_spec(spec)
+            spec.loader.exec_module(vr)
+            vpu_peak = vr.measure_vpu_peak_tflops(reps=3)
+            per_slot = 650 + 2 * (156 if intr_frozen else 342) + 60
+            vpu_rate = slot_obs * per_slot / lin_s / 1e12
+            out["vpu_peak_tflops"] = round(vpu_peak, 2)
+            out["lin_vpu_tflops"] = round(vpu_rate, 2)
+            out["vpu_fraction"] = round(vpu_rate / vpu_peak, 3)
+        except Exception as e:
+            print(f"# vpu roofline skipped: {e}", file=sys.stderr)
+    elif args.engine == "tiles" and not args.no_phase_split:
+        # sweep cost via a cg_iters=0 twin of the SAME step: the delta to
+        # the full step is exactly the PCG sweep work
+        t0_step = make_tile_step(
+            dataclasses.replace(options, cg_max_iterations=0),
+            params, impl=args.impl,
+            sweep_dtype=jnp.bfloat16 if args.sweep_dtype == "bf16" else None,
+            sweep_block_n=args.sweep_block)
+        step0 = jax.jit(lambda s, t, cf, pf: t0_step(s, t, cf, pf)[0],
+                        donate_argnums=(0,))
+        st0 = init_tile_state(params, tiles, options, cam_free)
+        st0 = step0(st0, *step_args)
+        float(st0.cost)
+        t0 = time.time()
+        for _ in range(max(args.iters // 2, 3)):
+            st0 = step0(st0, *step_args)
+        float(st0.cost)
+        base_s = (time.time() - t0) / max(args.iters // 2, 3)
+        step_s = dt / args.iters
+        out["phase_split"] = {
+            "linearize_solve_base_ms": round(base_s * 1e3, 3),
+            "pcg_sweeps_total_ms": round((step_s - base_s) * 1e3, 3),
+            "per_cg_iteration_ms": round(
+                (step_s - base_s) / max(args.cg_iters, 1) * 1e3, 3),
+            "cg_iters": args.cg_iters,
+            "step_ms": round(step_s * 1e3, 3),
+        }
     if jax.default_backend() != "cpu" and not args.measure_only:
         peak = measure_peak_tflops()
         out["measured_peak_tflops"] = {k: round(v, 1)
@@ -875,7 +991,7 @@ def ceres_equiv_baseline(args) -> float | None:
     """
     cache_path = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
     n = args.n_points or (2_000 if args.quick else 400_000)
-    key = f"ceres_equiv_iters_per_sec_n{n}"
+    key = f"ceres_equiv_v2_n{n}"
     cache = {}
     if os.path.exists(cache_path):
         try:
@@ -889,11 +1005,19 @@ def ceres_equiv_baseline(args) -> float | None:
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "ceres_equiv_cpu.py")
     out = subprocess.run(
-        [sys.executable, script, "--n-points", str(n), "--reps", "3"],
-        capture_output=True, text=True, timeout=3600,
+        [sys.executable, script, "--n-points", str(n), "--reps", "3",
+         "--procs", "1,2"],
+        capture_output=True, text=True, timeout=7200,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    value = json.loads(out.stdout.strip().splitlines()[-1])["iters_per_sec"]
+    parsed = json.loads(out.stdout.strip().splitlines()[-1])
+    d = parsed["detail"]
+    value = {
+        "iters_per_sec": parsed["iters_per_sec"],
+        "iters_per_sec_by_procs": d["iters_per_sec_by_procs"],
+        "parallel_efficiency": d["parallel_efficiency"],
+        "iters_per_sec_16t_est": d["iters_per_sec_16t_est"],
+    }
     cache[key] = value
     with open(cache_path, "w") as f:
         json.dump(cache, f)
@@ -1110,12 +1234,15 @@ def main(argv=None) -> int:
             print(f"# ceres-equiv measurement failed: {e}", file=sys.stderr)
             ce = None
         if ce:
-            # vs the measured single-process anchor, and vs an OPTIMISTIC
-            # 16-thread Ceres (perfect scaling of the reference's
-            # num_threads=16, src/sfm.cc:70)
-            detail["vs_ceres_equiv"] = round(result["iters_per_sec"] / ce, 1)
+            # vs the measured single-process anchor, and vs a 16-thread
+            # Ceres estimate built from the anchor's MEASURED parallel
+            # efficiency (the reference's num_threads=16, src/sfm.cc:70;
+            # earlier rounds assumed perfect 16x scaling)
+            detail["vs_ceres_equiv"] = round(
+                result["iters_per_sec"] / ce["iters_per_sec"], 1)
             detail["vs_ceres_equiv_16t"] = round(
-                result["iters_per_sec"] / (16 * ce), 1)
+                result["iters_per_sec"] / ce["iters_per_sec_16t_est"], 1)
+            detail["ceres_equiv_anchor"] = ce
     print(json.dumps({
         "metric": "ba_iterations_per_sec",
         "value": round(result["iters_per_sec"], 4),

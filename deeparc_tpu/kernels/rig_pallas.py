@@ -473,11 +473,11 @@ def linearize_grid(
 def _banded_linearize_kernel(
     starts_ref, tbl_ref, oho_ref, ohi_ref, ohk_ref, pts_ref, pxm_ref,
     pout_ref, e_ref, ghs_ref, cost_ref,
-    *, loss, loss_scale, w_band, intr_frozen,
+    *, loss, loss_scale, w_band, intr_frozen, t_lo=0,
 ):
     dtype = pxm_ref.dtype
     i = pl.program_id(0)
-    row0 = starts_ref[i] * 8
+    row0 = starts_ref[i + t_lo] * 8
     sp_band = tbl_ref[pl.ds(row0, w_band), :]             # (w_band, SP_COLS)
     col = lambda c: sp_band[:, c:c + 1]
     X = [pts_ref[a:a + 1, :] for a in range(3)]           # (1, n)
@@ -571,20 +571,26 @@ def banded_planes(grid, n_pad, ext_len):
     return _extend_cyclic(stack, ext_len, axis=1)
 
 
-def gather_banded_planes(pxm_ext, starts, w_band, block_np):
+def gather_banded_planes(pxm_ext, starts, w_band, block_np,
+                         t_lo=0, t_hi=None):
     """Pre-gather each point tile's live band into a DENSE stack
-    (3, w_band, n_pad): tile i's lane block holds rows
+    (3, w_band, (t_hi - t_lo) * block_np): tile i's lane block holds rows
     [starts[i]*8, starts[i]*8 + w_band) of the extended planes. The planes
     are constant across LM iterations, so this one gather per solve buys a
     banded kernel with the monolithic kernel's step structure (one grid
-    step per point tile — no per-slab overhead, no dynamic input DMAs)."""
+    step per point tile — no per-slab overhead, no dynamic input DMAs).
+    ``t_lo``/``t_hi`` restrict to a width-bucketed tile group (see
+    solver/rig_band: per-group stacks pay each group's own band width)."""
     _, t_ext, n_pad = pxm_ext.shape
     n_tiles = n_pad // block_np
-    rows = starts[:, None] * 8 + jnp.arange(w_band, dtype=starts.dtype)
-    arr = pxm_ext.reshape(3, t_ext, n_tiles, block_np)
-    idx = rows.T[None, :, :, None]                 # (1, w_band, n_tiles, 1)
+    if t_hi is None:
+        t_hi = n_tiles
+    starts_g = starts[t_lo:t_hi]
+    rows = starts_g[:, None] * 8 + jnp.arange(w_band, dtype=starts.dtype)
+    arr = pxm_ext.reshape(3, t_ext, n_tiles, block_np)[:, :, t_lo:t_hi]
+    idx = rows.T[None, :, :, None]           # (1, w_band, t_hi - t_lo, 1)
     out = jnp.take_along_axis(arr, idx, axis=1)
-    return out.reshape(3, w_band, n_pad)
+    return out.reshape(3, w_band, (t_hi - t_lo) * block_np)
 
 
 def _banded_tables(sp, grid, free_outer, free_inner, free_intr, t_pad,
@@ -614,11 +620,14 @@ def linearize_grid_banded(
     """Fused linearization over per-tile cell bands (see section comment).
 
     ``starts`` is the (n_pad / block_np,) int32 8-row-block start array
-    from :func:`deeparc_tpu.solver.rig_band.band_grid`; ``w_band`` the
-    static band width in cells (multiple of 8, <= t_pad); ``pxm`` the
-    pre-gathered :func:`gather_banded_planes` stack for THIS (starts,
+    from :func:`deeparc_tpu.solver.rig_band.band_grid`; ``w_band`` either a
+    single static band width in cells (multiple of 8, <= t_pad) paid by
+    EVERY tile, or a tuple of ``(w, tile_lo, tile_hi)`` width-bucket groups
+    (band_grid's per-tile band cost: each contiguous tile group pays only
+    its own width — one pallas launch per group, same math); ``pxm`` the
+    pre-gathered :func:`gather_banded_planes` stack(s) for THIS (starts,
     w_band, block_np) — built once per solve since the observation planes
-    never change during LM (band_grid attaches it). ``intr_frozen=True``
+    never change during LM (band_grid attaches them). ``intr_frozen=True``
     writes zeros for the intrinsic E columns without computing them.
     Returns the same quantities as :func:`linearize_grid` — identical math,
     skipping cells outside each tile's band (which band_grid guarantees
@@ -630,22 +639,32 @@ def linearize_grid_banded(
     Cn = 6 * R if intr_frozen else 6 * (R + K)
     dtype = points.dtype
     t_pad = _round_up(T, 8)
-    assert w_band % 8 == 0 and w_band <= t_pad, (w_band, t_pad)
-    if pxm is None:
-        n_pad = _round_up(N, block_np)
-        pxm = gather_banded_planes(
-            banded_planes(grid, n_pad, w_band), starts, w_band, block_np)
+    if isinstance(w_band, tuple):
+        n_tiles = w_band[-1][2]
+        n_pad = n_tiles * block_np
+        groups = w_band
     else:
-        n_pad = pxm.shape[-1]
-        assert pxm.shape[1] == w_band, (pxm.shape, w_band)
-    n_tiles = n_pad // block_np
+        n_pad = _round_up(N, block_np) if pxm is None else pxm.shape[-1]
+        n_tiles = n_pad // block_np
+        groups = ((w_band, 0, n_tiles),)
+    for w, _, _ in groups:
+        assert w % 8 == 0 and w <= t_pad, (w, t_pad)
+    w_max = max(w for w, _, _ in groups)
+    if pxm is None:
+        pxm_ext = banded_planes(grid, n_pad, w_max)
+        pxms = tuple(
+            gather_banded_planes(pxm_ext, starts, w, block_np, lo, hi)
+            for w, lo, hi in groups)
+    else:
+        pxms = pxm if isinstance(pxm, tuple) else (pxm,)
+    assert len(pxms) == len(groups)
     assert starts.shape[0] == n_tiles, (
         "band start table was built for a different point-tile width",
         starts.shape[0], n_tiles, block_np)
-    t_ext = t_pad + w_band
+    t_ext = t_pad + w_max
 
     tbl, oho, ohi, ohk = _banded_tables(
-        sp, grid, free_outer, free_inner, free_intr, t_pad, w_band, dtype)
+        sp, grid, free_outer, free_inner, free_intr, t_pad, w_max, dtype)
     pts_pack = jnp.zeros((8, n_pad), dtype)
     pts_pack = pts_pack.at[0:3, :N].set(points.T)
     pts_pack = pts_pack.at[2, N:].set(1.0)   # z-safe padding points
@@ -653,51 +672,67 @@ def linearize_grid_banded(
 
     n_p = 12 if intr_frozen else 18
     gw = n_p + n_p * n_p
-    kernel = functools.partial(
-        _banded_linearize_kernel, loss=loss, loss_scale=loss_scale,
-        w_band=w_band, intr_frozen=intr_frozen)
     full = lambda shape: pl.BlockSpec(shape, lambda i, s: (0, 0),
                                       memory_space=pltpu.VMEM)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            full((t_ext, SP_COLS)),
-            full((t_ext, R)),
-            full((t_ext, R)),
-            full((t_ext, K)),
-            pl.BlockSpec((8, block_np), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, w_band, block_np), lambda i, s: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((12, block_np), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_np, 3 * Cn), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_ext, gw), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-    )
-    pout, e_nat, ghs, cost = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((12, n_pad), dtype),
-            jax.ShapeDtypeStruct((n_pad, 3 * Cn), dtype),
-            jax.ShapeDtypeStruct((t_ext, gw), dtype),
-            jax.ShapeDtypeStruct((1, 1), dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
-        interpret=interpret,
-    )(starts, tbl, oho, ohi, ohk, pts_pack, pxm)
+    pout_parts, e_parts, ghs_sum, cost_sum = [], [], None, None
+    for (w_g, t_lo, t_hi), pxm_g in zip(groups, pxms):
+        g_tiles = t_hi - t_lo
+        if g_tiles == 0:
+            continue
+        assert pxm_g.shape == (3, w_g, g_tiles * block_np), (
+            pxm_g.shape, (3, w_g, g_tiles * block_np))
+        kernel = functools.partial(
+            _banded_linearize_kernel, loss=loss, loss_scale=loss_scale,
+            w_band=w_g, intr_frozen=intr_frozen, t_lo=t_lo)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g_tiles,),
+            in_specs=[
+                full((t_ext, SP_COLS)),
+                full((t_ext, R)),
+                full((t_ext, R)),
+                full((t_ext, K)),
+                pl.BlockSpec((8, block_np),
+                             lambda i, s, t0=t_lo: (0, t0 + i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, w_g, block_np), lambda i, s: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((12, block_np), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_np, 3 * Cn), lambda i, s: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_ext, gw), lambda i, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+        )
+        pout_g, e_g, ghs_g, cost_g = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((12, g_tiles * block_np), dtype),
+                jax.ShapeDtypeStruct((g_tiles * block_np, 3 * Cn), dtype),
+                jax.ShapeDtypeStruct((t_ext, gw), dtype),
+                jax.ShapeDtypeStruct((1, 1), dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
+            interpret=interpret,
+        )(starts, tbl, oho, ohi, ohk, pts_pack, pxm_g)
+        pout_parts.append(pout_g)
+        e_parts.append(e_g)
+        ghs_sum = ghs_g if ghs_sum is None else ghs_sum + ghs_g
+        cost_sum = cost_g if cost_sum is None else cost_sum + cost_g
 
-    # fold the cyclic extension rows back onto their base cells
-    ghs = ghs[:t_pad].at[:w_band].add(ghs[t_pad:])
+    pout = jnp.concatenate(pout_parts, axis=1)
+    e_nat = jnp.concatenate(e_parts, axis=0)
+    ghs, cost = ghs_sum, cost_sum
+    # fold the cyclic extension rows back onto their base cells (rows past
+    # t_pad + w_g of any one group are zero, so folding at w_max is exact)
+    ghs = ghs[:t_pad].at[:w_max].add(ghs[t_pad:])
     g_p = pout[0:3, :N].T
     hpp = pout[3:12, :N].T.reshape(N, 3, 3)
     if intr_frozen:
@@ -714,9 +749,9 @@ def linearize_grid_banded(
 
 
 def _banded_cost_kernel(starts_ref, tbl_ref, pts_ref, pxm_ref, cost_ref,
-                        *, loss, loss_scale, w_band):
+                        *, loss, loss_scale, w_band, t_lo=0):
     i = pl.program_id(0)
-    row0 = starts_ref[i] * 8
+    row0 = starts_ref[i + t_lo] * 8
     sp_band = tbl_ref[pl.ds(row0, w_band), :]
     col = lambda c: sp_band[:, c:c + 1]
     X = [pts_ref[a:a + 1, :] for a in range(3)]
@@ -744,55 +779,77 @@ def cost_grid_banded(points, sp, grid, starts, w_band,
                      interpret=False, pxm=None):
     """Banded robustified half-SSE (the trial-cost pass over live bands).
 
-    ``starts``/``pxm`` must be the band table and pre-gathered plane stack
-    built for THIS ``block_np`` (the cost pass uses wider tiles than the
-    linearize; band_grid builds one of each)."""
+    ``starts``/``pxm`` must be the band table and pre-gathered plane
+    stack(s) built for THIS ``block_np`` (the cost pass uses wider tiles
+    than the linearize; band_grid builds one of each). ``w_band`` is one
+    static width or a tuple of ``(w, tile_lo, tile_hi)`` groups (see
+    :func:`linearize_grid_banded`)."""
     N, T = grid.xy0.shape
     dtype = points.dtype
     t_pad = _round_up(T, 8)
-    assert w_band % 8 == 0 and w_band <= t_pad, (w_band, t_pad)
-    if pxm is None:
-        n_pad = _round_up(N, block_np)
-        pxm = gather_banded_planes(
-            banded_planes(grid, n_pad, w_band), starts, w_band, block_np)
+    if isinstance(w_band, tuple):
+        n_tiles = w_band[-1][2]
+        n_pad = n_tiles * block_np
+        groups = w_band
     else:
-        n_pad = pxm.shape[-1]
-        assert pxm.shape[1] == w_band, (pxm.shape, w_band)
-    n_tiles = n_pad // block_np
+        n_pad = _round_up(N, block_np) if pxm is None else pxm.shape[-1]
+        n_tiles = n_pad // block_np
+        groups = ((w_band, 0, n_tiles),)
+    for w, _, _ in groups:
+        assert w % 8 == 0 and w <= t_pad, (w, t_pad)
+    w_max = max(w for w, _, _ in groups)
+    if pxm is None:
+        pxm_ext = banded_planes(grid, n_pad, w_max)
+        pxms = tuple(
+            gather_banded_planes(pxm_ext, starts, w, block_np, lo, hi)
+            for w, lo, hi in groups)
+    else:
+        pxms = pxm if isinstance(pxm, tuple) else (pxm,)
+    assert len(pxms) == len(groups)
     assert starts.shape[0] == n_tiles, (
         "band start table was built for a different point-tile width",
         starts.shape[0], n_tiles, block_np)
-    t_ext = t_pad + w_band
+    t_ext = t_pad + w_max
 
     zeros6 = jnp.zeros((T, 6), dtype)
     tbl, _, _, _ = _banded_tables(sp, grid, zeros6, zeros6, zeros6, t_pad,
-                                  w_band, dtype)
+                                  w_max, dtype)
     pts_pack = jnp.zeros((8, n_pad), dtype)
     pts_pack = pts_pack.at[0:3, :N].set(points.T)
     pts_pack = pts_pack.at[2, N:].set(1.0)
 
-    kernel = functools.partial(_banded_cost_kernel, loss=loss,
-                               loss_scale=loss_scale, w_band=w_band)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((t_ext, SP_COLS), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_np), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, w_band, block_np), lambda i, s: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-    )
-    cost = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
-        interpret=interpret,
-    )(starts, tbl, pts_pack, pxm)
-    return cost[0, 0]
+    total = None
+    for (w_g, t_lo, t_hi), pxm_g in zip(groups, pxms):
+        g_tiles = t_hi - t_lo
+        if g_tiles == 0:
+            continue
+        assert pxm_g.shape == (3, w_g, g_tiles * block_np), (
+            pxm_g.shape, (3, w_g, g_tiles * block_np))
+        kernel = functools.partial(_banded_cost_kernel, loss=loss,
+                                   loss_scale=loss_scale, w_band=w_g,
+                                   t_lo=t_lo)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g_tiles,),
+            in_specs=[
+                pl.BlockSpec((t_ext, SP_COLS), lambda i, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, block_np),
+                             lambda i, s, t0=t_lo: (0, t0 + i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, w_g, block_np), lambda i, s: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+        cost = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+            interpret=interpret,
+        )(starts, tbl, pts_pack, pxm_g)
+        total = cost[0, 0] if total is None else total + cost[0, 0]
+    return total
 
 
 @functools.partial(

@@ -178,12 +178,79 @@ def _covers_from_liveness(lv: np.ndarray):
     return starts, covers
 
 
+def _partition_sequence(covers8: np.ndarray, max_groups: int, t_pad: int):
+    """Contiguous sequence partition (NO reorder) of tile covers into
+    <= max_groups segments minimizing sum(len_g * max_g). For the cost
+    tiling, whose point order is already fixed by the lin-tile reorder.
+    Returns ((w_cells, lo, hi), ...)."""
+    n = covers8.shape[0]
+    if n == 0:
+        return ((8, 0, 0),)
+    cap = t_pad // 8
+    c = np.minimum(np.maximum(covers8.astype(np.int64), 1), cap)
+    INF = float("inf")
+    # dp[g][i] = min cost for tiles [i, n) with <= g segments
+    dp_prev = np.full(n + 1, INF)
+    dp_prev[n] = 0.0
+    run = c[::-1]
+    run = np.maximum.accumulate(run)[::-1]          # max(c[i:])
+    for i in range(n):
+        dp_prev[i] = (n - i) * run[i]
+    cuts = [None]
+    for _ in range(2, max_groups + 1):
+        dp = np.full(n + 1, INF)
+        dp[n] = 0.0
+        cut = np.full(n + 1, n, np.int64)
+        for i in range(n - 1, -1, -1):
+            m = 0
+            best, bj = INF, n
+            for j in range(i + 1, n + 1):
+                if c[j - 1] > m:
+                    m = c[j - 1]
+                v = (j - i) * m + dp_prev[j]
+                if v < best:
+                    best, bj = v, j
+            dp[i] = best
+            cut[i] = bj
+        dp_prev, _ = dp, cuts.append(cut)
+    groups = []
+    g, i = len(cuts) - 1, 0
+    while i < n:
+        j = int(cuts[g][i]) if g >= 1 and cuts[g] is not None else n
+        groups.append((int(c[i:j].max()) * 8, i, j))
+        i, g = j, max(g - 1, 0)
+    return tuple(groups)
+
+
+def _group_tiles(covers8, max_groups):
+    """Bucket tiles by cover width and produce the width-sorted tile order.
+
+    Tiles keep their relative (angular) order INSIDE each bucket so
+    coarser tilings built on top (the cost pass) still see angular
+    locality. Returns (tile_order, groups) with groups a tuple of
+    (w_cells, tile_lo, tile_hi) over the REORDERED tile sequence."""
+    if covers8.size == 0:
+        return np.zeros((0,), np.int64), ()
+    buckets = _partition_widths(covers8, max_groups)
+    tile_order = np.argsort(buckets, kind="stable")
+    b_sorted = buckets[tile_order]
+    groups = []
+    lo = 0
+    for w in np.unique(b_sorted):
+        hi = int(np.searchsorted(b_sorted, w, side="right"))
+        groups.append((int(w) * 8, lo, hi))
+        lo = hi
+    return tile_order, tuple(groups)
+
+
 def band_grid(
     grid: GridIndex,
     block_np: int = 256,
     cost_block_np: int = 1024,
     max_frac: float = 0.85,
     orderings=("identity", "rcm", "spectral"),
+    max_groups: int = 4,
+    max_groups_cost: int = 3,
 ) -> BandPrep | None:
     """Build the banded layout, or None when banding would not pay.
 
@@ -211,20 +278,49 @@ def band_grid(
         lv = np.asarray(_tile_liveness(grid.mask, order, cp, t_pad,
                                        block_np, n_pad))
         starts, covers = _covers_from_liveness(lv)
-        w = max(int(covers.max()) if covers.size else 1, 1) * 8
-        if best is None or w < best[0]:
-            best = (w, cp, order, starts)
-    w_band, cell_perm, order, starts = best
-    if w_band >= max_frac * t_pad:
+        # selection metric = the PAID slot work after width bucketing, not
+        # the global max (a single wide tile no longer taxes every tile);
+        # only tiles holding real points count (trailing all-padding tiles
+        # have cover 0 and would dilute the density estimate)
+        n_live = -(-N // block_np)
+        paid = _partition_widths(covers[:n_live], max_groups)
+        work = int(paid.sum())
+        if best is None or work < best[0]:
+            best = (work, cp, order, starts, covers)
+    work, cell_perm, order, starts, covers = best
+    n_tiles = n_pad // block_np
+    n_live = -(-N // block_np)
+    if work * 8 >= max_frac * t_pad * n_live:
         return None
 
+    # ---- width-bucketed tile reorder (per-tile band cost) ----
+    # Only FULL tiles are reordered; tiles overlapping the [N, n_pad)
+    # padding must stay trailing so the padded-row layout the kernels
+    # build (pad at the end) keeps tile boundaries aligned.
+    n_full = N // block_np
+    tile_order_full, lin_groups = _group_tiles(covers[:n_full], max_groups)
+    tile_order = np.concatenate(
+        [tile_order_full, np.arange(n_full, n_tiles)])
+    if n_full < n_tiles:
+        w_tail = max(int(covers[n_full:].max()), 1) * 8
+        lin_groups = lin_groups + ((w_tail, n_full, n_tiles),)
+    starts = starts[tile_order]
+    order_np = np.asarray(order)
+    full_rows = order_np[: n_full * block_np].reshape(n_full, block_np)
+    order = jnp.asarray(np.concatenate(
+        [full_rows[tile_order_full].reshape(-1),
+         order_np[n_full * block_np:]]))
+    w_band = max(w for w, _, _ in lin_groups)
+
+    # cost tiling: computed on the FINAL point order; cost tiles cannot be
+    # reordered (the point layout is fixed), so group them by a contiguous
+    # sequence partition instead of sorting
     lv_cost = np.asarray(
         _tile_liveness(grid.mask, order, cell_perm, t_pad, cost_block_np,
                        n_pad))
     starts_cost, covers_cost = _covers_from_liveness(lv_cost)
-    w_cost = min(
-        max(int(covers_cost.max()) if covers_cost.size else 1, 1) * 8,
-        t_pad)   # a full-width cyclic band covers every cell exactly once
+    cost_groups = _partition_sequence(covers_cost, max_groups_cost, t_pad)
+    w_cost = max(w for w, _, _ in cost_groups)
 
     new_grid = grid._replace(
         xy0=grid.xy0[order][:, cell_perm],
@@ -251,12 +347,17 @@ def band_grid(
     pxm_ext = banded_planes(new_grid, n_pad, max(w_band, w_cost))
     starts_d = jnp.asarray(starts)
     starts_cost_d = jnp.asarray(starts_cost)
-    pxm_lin = gather_banded_planes(pxm_ext, starts_d, w_band, block_np)
-    pxm_cost = gather_banded_planes(pxm_ext, starts_cost_d, w_cost,
-                                    cost_block_np)
+    pxm_lin = tuple(
+        gather_banded_planes(pxm_ext, starts_d, w, block_np, lo, hi)
+        for w, lo, hi in lin_groups)
+    pxm_cost = tuple(
+        gather_banded_planes(pxm_ext, starts_cost_d, w, cost_block_np,
+                             lo, hi)
+        for w, lo, hi in cost_groups)
     new_grid = new_grid._replace(
         band=(starts_d, starts_cost_d, pxm_lin, pxm_cost))
     inv = jnp.argsort(order)
     return BandPrep(grid=new_grid, w_band=int(w_band),
                     w_band_cost=int(w_cost), perm=order, inv=inv,
-                    block_np=block_np, cost_block_np=cost_block_np)
+                    block_np=block_np, cost_block_np=cost_block_np,
+                    lin_groups=lin_groups, cost_groups=cost_groups)

@@ -630,7 +630,7 @@ def make_grid_step(options: SolverOptions, template: BAParams,
 
     # banded pallas with frozen intrinsics: E comes back EXT-ONLY (N,3,6R)
     # — the intrinsic columns are identically zero and never materialized
-    ext_only = impl == "pallas" and band_intr_frozen and band_widths[0] > 0
+    ext_only = impl == "pallas" and band_intr_frozen and bool(band_widths[0])
 
     def _e_perms(grid: GridIndex):
         """Permutations between the pallas kernel's native E column order
@@ -853,9 +853,11 @@ def solve_ba_grid(
         if prep is not None:
             band_prep = prep
             if options.progress_to_stdout:
-                print(f"[grid] live-band solve: w_band={prep.w_band} of "
-                      f"{grid.mask.shape[1]} cells "
-                      f"(cost pass {prep.w_band_cost})")
+                print(f"[grid] live-band solve: w_band<={prep.w_band} of "
+                      f"{grid.mask.shape[1]} cells, lin groups "
+                      f"{[g[0] for g in prep.lin_groups]} "
+                      f"(cost pass <={prep.w_band_cost}, groups "
+                      f"{[g[0] for g in prep.cost_groups]})")
             grid = prep.grid
             params = dataclasses.replace(
                 params, points=params.points[prep.perm])

@@ -97,7 +97,8 @@ def test_banded_linearize_matches_planes(problem, loss, scale):
         loss=loss, loss_scale=scale,
     )
     got = linearize_grid_banded(
-        pts, pf, sp, g, fo, fi, fk, g.band[0], w_band=prep.w_band,
+        pts, pf, sp, g, fo, fi, fk, g.band[0],
+        w_band=prep.lin_groups or prep.w_band,
         loss=loss, loss_scale=scale, block_np=64, interpret=True,
         pxm=g.band[2],
     )
@@ -123,7 +124,8 @@ def test_banded_cost_matches_planes(problem):
     sp = slot_params(params, g)
     ref = cost_planes(pts, sp, g.xy0, g.xy1, g.mask,
                       loss="cauchy", loss_scale=3.0)
-    got = cost_grid_banded(pts, sp, g, g.band[1], w_band=prep.w_band_cost,
+    got = cost_grid_banded(pts, sp, g, g.band[1],
+                           w_band=prep.cost_groups or prep.w_band_cost,
                            loss="cauchy", loss_scale=3.0, block_np=128,
                            interpret=True, pxm=g.band[3])
     np.testing.assert_allclose(got, ref, rtol=1e-5)
