@@ -106,6 +106,12 @@ def parse_args(argv=None):
                    help="tiles engine: storage dtype of the per-slot "
                         "Jacobian planes the PCG sweeps read (bf16 halves "
                         "the sweeps' HBM traffic; accumulation stays f32)")
+    p.add_argument("--fuse-trial", action="store_true",
+                   help="grid engine: fused-trial step (state carries the "
+                        "linearization; the trial evaluation IS the next "
+                        "linearize). Measured slower than the classic step "
+                        "on the v5e pallas path (the big-system select "
+                        "outweighs the saved cost pass)")
     p.add_argument("--no-phase-split", action="store_true",
                    help="skip the per-phase timing + VPU-roofline passes "
                         "(they add a few compiles per row)")
@@ -341,15 +347,25 @@ def measure(args) -> dict:
         )
         # intrinsics are frozen in this config (the reference's standard BA
         # mode, src/sfm.cc:60-62) -> the banded kernel skips their E columns
+        fused = args.fuse_trial
         g_step = make_grid_step(options, params, args.chunk_size,
                                 impl=args.impl, band_widths=band_widths,
                                 band_blocks=band_blocks,
-                                band_intr_frozen=True)
+                                band_intr_frozen=True, fuse_trial=fused)
         step = jax.jit(lambda s, g, cf, pf: g_step(s, g, cf, pf)[0],
                        donate_argnums=(0,))
-        state = init_grid_state(params, grid, options, impl=args.impl,
-                                band_widths=band_widths,
-                                band_blocks=band_blocks)
+        if fused:
+            from deeparc_tpu.solver.rig_grid import init_grid_state_fused
+
+            state = init_grid_state_fused(
+                params, grid, options, cam_free, point_free,
+                impl=args.impl, band_widths=band_widths,
+                band_blocks=band_blocks, band_intr_frozen=True,
+                chunk_size=args.chunk_size)
+        else:
+            state = init_grid_state(params, grid, options, impl=args.impl,
+                                    band_widths=band_widths,
+                                    band_blocks=band_blocks)
         step_args = (grid, cam_free, point_free)
         n_obs_real = int(jnp.sum(grid.mask))
         n_points_real = cfg["n_points"]
@@ -1223,6 +1239,10 @@ def main(argv=None) -> int:
         detail["v_local"] = result["v_local"]
     if result.get("band") is not None:
         detail["band"] = result["band"]
+    for k in ("phase_split", "vpu_peak_tflops", "lin_vpu_tflops",
+              "vpu_fraction"):
+        if result.get(k) is not None:
+            detail[k] = result[k]
     if args.engine == "grid" and not args.dense:
         detail["sparse_random"] = bool(args.sparse_random)
         detail["occlusion_rings"] = (

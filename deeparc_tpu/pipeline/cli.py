@@ -80,6 +80,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--visibility", type=float, default=1.0,
                    help="synthetic rig: random visibility thinning")
     p.add_argument("--seed", type=int, default=0)
+    # incremental registration (BASELINE config 3: the *_bfs dataset path)
+    p.add_argument("--incremental", action="store_true",
+                   help="register cameras incrementally in BFS order over "
+                        "the covisibility graph, bundle-adjusting per "
+                        "batch (non-shared scenes add a pose-graph "
+                        "refinement stage between batches)")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="--incremental: cameras activated per batch "
+                        "(default: one ring / C//8)")
+    p.add_argument("--no-pose-graph", action="store_true",
+                   help="--incremental: skip the pose-graph stage")
     return p
 
 
@@ -151,6 +162,27 @@ def main(argv=None) -> int:
         sweep_dtype=args.sweep_dtype,
     )
     dtype = jnp.float32 if args.f32 else jnp.float64
+    if args.incremental:
+        from deeparc_tpu.pipeline.incremental import run_incremental
+
+        inc = run_incremental(
+            data, options, batch_size=args.batch_size, dtype=dtype,
+            verbose=not args.quiet, pose_graph=not args.no_pose_graph,
+        )
+        if args.output_dir:
+            import os
+
+            from deeparc_tpu.io.deeparc_format import write_deeparc
+            from deeparc_tpu.scene import to_deeparc
+
+            os.makedirs(args.output_dir, exist_ok=True)
+            write_deeparc(to_deeparc(inc.scene), os.path.join(
+                args.output_dir, f"{basename}_incremental.deeparc"))
+        print(
+            f"[deeparc] incremental done: batches={inc.batches} "
+            f"cost={inc.final_cost:.6e} rmse={inc.final_rmse_px:.4f}px"
+        )
+        return 0
     result = run_pipeline(
         data, options, output_dir=args.output_dir, basename=basename,
         dtype=dtype, verbose=not args.quiet,

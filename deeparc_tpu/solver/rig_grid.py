@@ -570,6 +570,19 @@ class GridState(NamedTuple):
     status: jnp.ndarray
 
 
+class GridStateF(NamedTuple):
+    """Fused-trial state: carries the linearization at the current iterate
+    (make_grid_step(fuse_trial=True)). ``cost == sys.cost`` always."""
+
+    points: jnp.ndarray
+    cam_vec: jnp.ndarray
+    cost: jnp.ndarray
+    sys: "GridSystem"
+    tr: tr_mod.TRState
+    k: jnp.ndarray
+    status: jnp.ndarray
+
+
 def flatten_cam_tables(params: BAParams) -> jnp.ndarray:
     from deeparc_tpu.residuals.reprojection import flatten_camera
 
@@ -589,7 +602,8 @@ def make_grid_step(options: SolverOptions, template: BAParams,
                    axis: str | None = None,
                    band_widths: tuple = (0, 0),
                    band_blocks: tuple = (0, 0),
-                   band_intr_frozen: bool = False):
+                   band_intr_frozen: bool = False,
+                   fuse_trial: bool = False):
     """Pure LM step over the grid layout:
     step(state, grid, cam_free, point_free) -> (state, info).
 
@@ -652,7 +666,8 @@ def make_grid_step(options: SolverOptions, template: BAParams,
         return (jnp.asarray(native_of_flat(R_rows, K)),
                 jnp.asarray(flat_of_native(R_rows, K)), 0)
 
-    def step(state: GridState, grid: GridIndex, cam_free, point_free):
+    def _layout(grid):
+        """E-column permutation helpers for the current grid."""
         n2f, f2n, ce = _e_perms(grid)
         C_full = 6 * (grid.onehot_outer.shape[1] + grid.onehot_intr.shape[1])
         if n2f is None:
@@ -670,17 +685,27 @@ def make_grid_step(options: SolverOptions, template: BAParams,
         else:
             to_flat = lambda v: v[n2f] if v.ndim == 1 else v[n2f][:, n2f]
             to_nat = lambda v: v[f2n]
-        params = _params_from(state.cam_vec, state.points, template)
+        return to_flat, to_nat
+
+    def linearize_at(points, cam_vec, grid, cam_free, point_free):
+        params = _params_from(cam_vec, points, template)
         sp = slot_params(params, grid)
         sys = assemble_grid_system(
-            state.points, sp, grid, cam_free, point_free, chunk_size,
+            points, sp, grid, cam_free, point_free, chunk_size,
             options.loss, options.loss_scale, impl=impl,
             band_width=band_widths[0], band_block=band_blocks[0],
             band_intr_frozen=band_intr_frozen,
         )
-        sys = sys._replace(g_c=allsum(sys.g_c), hcc=allsum_sym(sys.hcc),
-                           cost=allsum(sys.cost))
+        return sys._replace(g_c=allsum(sys.g_c), hcc=allsum_sym(sys.hcc),
+                            cost=allsum(sys.cost))
 
+    def _solve_and_decide(sys, state, grid, cam_free, point_free,
+                          trial_eval):
+        """Shared LM core: solve the augmented system from ``sys``, build
+        the trial point, evaluate it with ``trial_eval(points, cam) ->
+        (cost, payload)``, and make the Ceres accept/radius decision.
+        Returns everything the two step variants need."""
+        to_flat, to_nat = _layout(grid)
         # augmented per-point blocks
         diag = jnp.diagonal(sys.hpp, axis1=-2, axis2=-1)
         d2p = lm_diagonal(diag, options.min_lm_diagonal, options.max_lm_diagonal)
@@ -722,12 +747,7 @@ def make_grid_step(options: SolverOptions, template: BAParams,
 
         new_points = state.points + dp
         new_cam = state.cam_vec + dc
-        trial_params = _params_from(new_cam, new_points, template)
-        new_cost = allsum(grid_cost(
-            new_points, slot_params(trial_params, grid), grid,
-            loss=options.loss, loss_scale=options.loss_scale, impl=impl,
-            band_width=band_widths[1], band_block=band_blocks[1],
-        ))
+        new_cost, payload = trial_eval(new_points, new_cam)
 
         rho = (state.cost - new_cost) / jnp.maximum(mcc, 1e-300)
         accept = (mcc > 0) & (rho > options.min_relative_decrease)
@@ -763,18 +783,66 @@ def make_grid_step(options: SolverOptions, template: BAParams,
             gtol, 3,
             jnp.where(ftol, 2, jnp.where(ptol, 4, jnp.where(radius_min, 5, 0))),
         )
-        next_state = GridState(
-            points=points_next, cam_vec=cam_next, cost=cost_next,
-            tr=tr_next, k=state.k + 1, status=jnp.asarray(status),
-        )
         info = StepInfo(
             cost=cost_next, cost_change=cost_change, grad_max=grad_max,
             step_norm=step_norm, radius=state.tr.radius, rho=rho,
             accepted=accept,
         )
+        return (points_next, cam_next, cost_next, tr_next,
+                jnp.asarray(status), accept, payload, info)
+
+    def step(state: GridState, grid: GridIndex, cam_free, point_free):
+        sys = linearize_at(state.points, state.cam_vec, grid, cam_free,
+                           point_free)
+
+        def trial_eval(new_points, new_cam):
+            trial_params = _params_from(new_cam, new_points, template)
+            new_cost = allsum(grid_cost(
+                new_points, slot_params(trial_params, grid), grid,
+                loss=options.loss, loss_scale=options.loss_scale, impl=impl,
+                band_width=band_widths[1], band_block=band_blocks[1],
+            ))
+            return new_cost, None
+
+        (points_next, cam_next, cost_next, tr_next, status, accept, _,
+         info) = _solve_and_decide(sys, state, grid, cam_free, point_free,
+                                   trial_eval)
+        next_state = GridState(
+            points=points_next, cam_vec=cam_next, cost=cost_next,
+            tr=tr_next, k=state.k + 1, status=status,
+        )
         return next_state, info
 
-    return step
+    def step_fused(state: "GridStateF", grid: GridIndex, cam_free,
+                   point_free):
+        """Fused-trial LM step: the state CARRIES the linearization at its
+        current iterate, and the trial evaluation IS the next
+        linearization (the fused kernels return the cost with the system).
+        One heavy pass per iteration instead of linearize + cost-pass;
+        rejected steps reuse the stored system and re-solve with the
+        shrunk radius (measured flagship phase split: linearize 20.5 ms,
+        cost pass 11.2 ms of a 33.7 ms step — the cost pass is redundant
+        whenever the step is accepted, which near-converged LM almost
+        always is)."""
+        sys = state.sys
+
+        def trial_eval(new_points, new_cam):
+            sys_trial = linearize_at(new_points, new_cam, grid, cam_free,
+                                     point_free)
+            return sys_trial.cost, sys_trial
+
+        (points_next, cam_next, cost_next, tr_next, status, accept,
+         sys_trial, info) = _solve_and_decide(
+            sys, state, grid, cam_free, point_free, trial_eval)
+        sys_next = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), sys_trial, sys)
+        next_state = GridStateF(
+            points=points_next, cam_vec=cam_next, cost=cost_next,
+            sys=sys_next, tr=tr_next, k=state.k + 1, status=status,
+        )
+        return next_state, info
+
+    return step_fused if fuse_trial else step
 
 
 def init_grid_state(
@@ -803,6 +871,41 @@ def init_grid_state(
     )
 
 
+def init_grid_state_fused(
+    params: BAParams, grid: GridIndex, options: SolverOptions,
+    cam_free, point_free,
+    axis: str | None = None, impl: str = "planes",
+    band_widths: tuple = (0, 0), band_blocks: tuple = (0, 0),
+    band_intr_frozen: bool = False, chunk_size: int = 8192,
+) -> GridStateF:
+    """State for make_grid_step(fuse_trial=True): one full linearization
+    at the start iterate (its cost doubles as cost0)."""
+    dtype = params.points.dtype
+    sp = slot_params(params, grid)
+    sys0 = assemble_grid_system(
+        params.points, sp, grid, cam_free, point_free, chunk_size,
+        options.loss, options.loss_scale, impl=impl,
+        band_width=band_widths[0], band_block=band_blocks[0],
+        band_intr_frozen=band_intr_frozen,
+    )
+    if axis is not None:
+        sys0 = sys0._replace(
+            g_c=jax.lax.psum(sys0.g_c, axis),
+            hcc=jax.lax.psum(sys0.hcc, axis),
+            cost=jax.lax.psum(sys0.cost, axis),
+        )
+    return GridStateF(
+        points=params.points,
+        cam_vec=flatten_cam_tables(params),
+        # distinct buffer from sys.cost: donated state must not alias
+        cost=sys0.cost + jnp.zeros((), dtype),
+        sys=sys0,
+        tr=tr_mod.init_tr(options.initial_radius, dtype),
+        k=jnp.asarray(0),
+        status=jnp.asarray(0),
+    )
+
+
 def solve_ba_grid(
     params: BAParams,
     grid: GridIndex,
@@ -817,6 +920,7 @@ def solve_ba_grid(
     logger=None,
     while_block: int = 10,
     band: str = "auto",
+    fuse_trial: bool | None = None,
 ):
     """LM to convergence on the grid engine. Returns a solver.ba.BAResult.
 
@@ -872,14 +976,31 @@ def solve_ba_grid(
     unperm = ((lambda pts: pts) if band_prep is None
               else (lambda pts: pts[band_prep.inv]))
 
+    if fuse_trial is None:
+        # measured on the v5e flagship: the fused step's big-system select
+        # (E is ~0.9 GB) costs more than the banded cost pass it saves
+        # (same-process A/B: 32.8 vs 29.3 ms/iter), while on the XLA
+        # planes path the cost pass is the larger fraction and fusing wins
+        # (+13% on CPU) — so fuse only off the pallas kernels
+        fuse_trial = impl != "pallas"
     cam_free = flatten_camera(free)
     point_free = free.points
     step = make_grid_step(options, params, chunk_size, impl=impl,
                           band_widths=band_widths, band_blocks=band_blocks,
-                          band_intr_frozen=intr_frozen)
-    state = init_grid_state(params, grid, options, impl=impl,
-                            band_widths=band_widths,
-                            band_blocks=band_blocks)
+                          band_intr_frozen=intr_frozen,
+                          fuse_trial=fuse_trial)
+
+    def _make_state(p):
+        if fuse_trial:
+            return init_grid_state_fused(
+                p, grid, options, cam_free, point_free, impl=impl,
+                band_widths=band_widths, band_blocks=band_blocks,
+                band_intr_frozen=intr_frozen, chunk_size=chunk_size)
+        return init_grid_state(p, grid, options, impl=impl,
+                               band_widths=band_widths,
+                               band_blocks=band_blocks)
+
+    state = _make_state(params)
     start_iter = 0
     if resume and checkpoint_path:
         import os as _os
@@ -893,23 +1014,13 @@ def solve_ba_grid(
                 # checkpoints live in ORIGINAL point order
                 ck_params = dataclasses.replace(
                     ck_params, points=ck_params.points[band_prep.perm])
-            sp = slot_params(ck_params, grid)
-            cost_ck = grid_cost(ck_params.points, sp, grid,
-                                loss=options.loss,
-                                loss_scale=options.loss_scale, impl=impl,
-                                band_width=band_widths[1],
-                                band_block=band_blocks[1])
-            state = GridState(
-                points=ck_params.points,
-                cam_vec=flatten_cam_tables(ck_params),
-                cost=cost_ck,
+            state = _make_state(ck_params)._replace(
                 tr=tr_mod.TRState(
                     radius=jnp.asarray(scal["radius"], params.points.dtype),
                     decrease_factor=jnp.asarray(
                         scal["decrease_factor"], params.points.dtype),
                 ),
                 k=jnp.asarray(scal["iteration"]),
-                status=jnp.asarray(0),
             )
             start_iter = scal["iteration"]
 

@@ -197,3 +197,45 @@ def test_planes_impl_matches_einsum_impl(problem):
         c_e = grid_cost(scene.params.points, sp, grid, chunk_size=16,
                         loss=loss, loss_scale=0.7, impl="einsum")
         np.testing.assert_allclose(float(c_p), float(c_e), rtol=1e-12)
+
+
+def test_fused_trial_step_matches_classic(problem):
+    """make_grid_step(fuse_trial=True) — the state carries the
+    linearization and the trial evaluation IS the next linearize — must
+    reproduce the classic linearize+cost-pass step: same costs, same
+    accept decisions, same iterates."""
+    from deeparc_tpu.residuals.reprojection import flatten_camera
+    from deeparc_tpu.solver.rig_grid import (
+        GridStateF,
+        init_grid_state,
+        init_grid_state_fused,
+        make_grid_step,
+    )
+
+    scene, grid, free = problem
+    cam_free = flatten_camera(free)
+    point_free = free.points
+    opts = SolverOptions()
+
+    step_c = make_grid_step(opts, scene.params, impl="planes")
+    step_f = make_grid_step(opts, scene.params, impl="planes",
+                            fuse_trial=True)
+    sc = init_grid_state(scene.params, grid, opts, impl="planes")
+    sf = init_grid_state_fused(scene.params, grid, opts, cam_free,
+                               point_free, impl="planes")
+    np.testing.assert_allclose(float(sf.cost), float(sc.cost), rtol=1e-12)
+    for _ in range(4):
+        sc, ic = step_c(sc, grid, cam_free, point_free)
+        sf, if_ = step_f(sf, grid, cam_free, point_free)
+        assert bool(ic.accepted) == bool(if_.accepted)
+        np.testing.assert_allclose(float(sf.cost), float(sc.cost),
+                                   rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sf.points), np.asarray(sc.points),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sf.cam_vec),
+                               np.asarray(sc.cam_vec), rtol=1e-8,
+                               atol=1e-12)
+    # the carried system IS the linearization at the final iterate
+    assert isinstance(sf, GridStateF)
+    np.testing.assert_allclose(float(sf.sys.cost), float(sf.cost),
+                               rtol=1e-12)

@@ -293,3 +293,38 @@ def test_rcm_cell_reordering_recovers_locality():
     for c in range(cc_np.shape[0]):
         sl = slice(c * rpc, (c + 1) * rpc)
         np.testing.assert_array_equal(cc_np[c][local_np[sl]], cells_np[sl])
+
+
+def test_dual_layout_step_matches_xla(problem):
+    """impl='dual' (camera-major layout, no one-hot sweeps) reproduces the
+    XLA one-hot step: same costs, same iterates, same accept decisions.
+    The dual sweeps are a pure re-binning of identical per-slot algebra
+    (solver/tiles.py dual-layout section)."""
+    from deeparc_tpu.residuals.reprojection import flatten_camera
+    from deeparc_tpu.solver.tiles import with_cam_layout
+
+    scene, free = problem
+    opts = SolverOptions(
+        linear_solver="iterative_schur", cg_max_iterations=40,
+        min_relative_decrease=-1.0,
+        function_tolerance=0.0, gradient_tolerance=0.0,
+        parameter_tolerance=0.0,
+    )
+    tiles, params_t, free_t = tiles_from_scene(scene, free, chunk_obs=CHUNK)
+    tiles_d = with_cam_layout(tiles)
+    cam_free = flatten_camera(free)
+
+    step_x = make_tile_step(opts, params_t, chunk_obs=CHUNK, impl="xla")
+    step_d = make_tile_step(opts, params_t, chunk_obs=CHUNK, impl="dual")
+    sx = init_tile_state(params_t, tiles, opts, cam_free, chunk_obs=CHUNK)
+    sd = init_tile_state(params_t, tiles_d, opts, cam_free, chunk_obs=CHUNK)
+    for _ in range(3):
+        sx, ix = step_x(sx, tiles, cam_free, free_t)
+        sd, idl = step_d(sd, tiles_d, cam_free, free_t)
+        np.testing.assert_allclose(float(sd.cost), float(sx.cost),
+                                   rtol=1e-8)
+        assert bool(idl.accepted) == bool(ix.accepted)
+    np.testing.assert_allclose(np.asarray(sd.points),
+                               np.asarray(sx.points), rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sd.cam_vec),
+                               np.asarray(sx.cam_vec), rtol=1e-6, atol=1e-9)
