@@ -50,6 +50,9 @@ class PipelineResult(NamedTuple):
     filter_rounds: int
     final_cost: float
     final_rmse_px: float
+    # per-round records: round, cost, iterations, status, obs/points alive,
+    # cumulative elapsed_s (same payload as the state-sidecar checkpoints)
+    rounds: tuple = ()
 
 
 def scene_camera_centers(scene: Scene) -> jnp.ndarray:
@@ -100,6 +103,8 @@ def _sync_grid_masks(scene: Scene, grid) -> Scene:
 
 
 def _write_sidecar(path, step, result, stats, t_start):
+    """Build the per-round record; persist it when a path is given.
+    Also returned to run_pipeline's ``rounds`` history."""
     sidecar = {
         "round": step, "cost": float(result.cost),
         "iterations": result.iterations, "status": result.status,
@@ -107,8 +112,10 @@ def _write_sidecar(path, step, result, stats, t_start):
         "points_alive": int(stats.points_alive),
         "elapsed_s": time.time() - t_start,
     }
-    with open(path, "w") as f:
-        json.dump(sidecar, f, indent=2)
+    if path:
+        with open(path, "w") as f:
+            json.dump(sidecar, f, indent=2)
+    return sidecar
 
 
 def rmse_px(scene: Scene) -> float:
@@ -131,6 +138,7 @@ def run_pipeline(
         os.makedirs(output_dir, exist_ok=True)
 
     scene = from_deeparc(data, dtype=dtype)
+    rounds_log: list = []
     log = print if verbose else (lambda *a, **k: None)
     log(f"[deeparc] loaded: {scene.n_obs} obs, {scene.n_points} points, "
         f"{scene.n_extrinsics} extrinsics, {scene.n_intrinsics} intrinsics, "
@@ -244,9 +252,9 @@ def run_pipeline(
             log(f"point3d: {current_points}")
             if output_dir and options.write_snapshots:
                 _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
-            if output_dir:
-                _write_sidecar(out(f"{basename}_state.json"), step, result,
-                               stats, t_start)
+            rounds_log.append(_write_sidecar(
+                out(f"{basename}_state.json") if output_dir else None,
+                step, result, stats, t_start))
     elif use_tiles:
         from deeparc_tpu.pipeline.filtering import (
             FilterStats, filter_masks_tiles,
@@ -350,9 +358,9 @@ def run_pipeline(
             log(f"point3d: {current_points}")
             if output_dir and options.write_snapshots:
                 _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
-            if output_dir:
-                _write_sidecar(out(f"{basename}_state.json"), step, result,
-                               stats, t_start)
+            rounds_log.append(_write_sidecar(
+                out(f"{basename}_state.json") if output_dir else None,
+                step, result, stats, t_start))
     else:
         # points-only pre-solve (freeze_camera=true; sfm.cc:111)
         free_frozen = freeze_masks(scene, freeze_camera=True)
@@ -384,9 +392,9 @@ def run_pipeline(
             log(f"point3d: {current_points}")
             if output_dir and options.write_snapshots:
                 _snapshot(scene, out(f"{basename}_adjust_point_{step}.ply"))
-            if output_dir:
-                _write_sidecar(out(f"{basename}_state.json"), step, result,
-                               stats, t_start)
+            rounds_log.append(_write_sidecar(
+                out(f"{basename}_state.json") if output_dir else None,
+                step, result, stats, t_start))
 
     log(f"TOTAL REPEAT: {step}")
     scene = compact(scene)
@@ -403,4 +411,5 @@ def run_pipeline(
         filter_rounds=step,
         final_cost=final_cost,
         final_rmse_px=rmse_px(scene),
+        rounds=tuple(rounds_log),
     )
