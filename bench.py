@@ -446,6 +446,9 @@ def measure(args) -> dict:
             sweep_block_n=args.sweep_block)
         step = jax.jit(lambda s, t, cf, pf: t_step(s, t, cf, pf)[0],
                        donate_argnums=(0,))
+        # keep undonated copies for the phase-split re-init below (the
+        # main step donates its state, which aliases params.points)
+        params_copy = jax.tree.map(lambda x: x + 0, params)
         state = init_tile_state(params, tiles, options, cam_free)
         step_args = (tiles, cam_free, point_free)
         n_obs_real = int(sum(float(jnp.sum(b.mask)) for b in tiles.buckets))
@@ -598,7 +601,7 @@ def measure(args) -> dict:
             sweep_block_n=args.sweep_block)
         step0 = jax.jit(lambda s, t, cf, pf: t0_step(s, t, cf, pf)[0],
                         donate_argnums=(0,))
-        st0 = init_tile_state(params, tiles, options, cam_free)
+        st0 = init_tile_state(params_copy, tiles, options, cam_free)
         st0 = step0(st0, *step_args)
         float(st0.cost)
         t0 = time.time()

@@ -107,6 +107,44 @@ class TileBucket(NamedTuple):
     #                           cell id per local slot; n_chunks = Nb // B)
 
 
+def _locality_cell_order(cell_of_obs, pts_of_obs, V0, N):
+    """Cell permutation for chunk locality: reverse Cuthill-McKee on the
+    cell co-visibility graph, made robust to 'hub' cells (popular views
+    co-visible with a large fraction of all cells — real photo
+    collections have them, and they densify the graph enough to destroy
+    RCM's bandwidth). Hubs are stripped before ordering and appended at
+    the end; the exact per-chunk tables (bucket_with_local) absorb the few
+    hub ids each chunk touches. Returns ``(perm, hub_mask_or_None)`` with
+    perm mapping new rank -> old cell id.
+
+    Reference bar: Ceres' evaluation cost is graph-shape independent
+    (``src/sfm.cc:36-48``); this keeps the tile engine's chunk tables
+    narrow whenever narrowness exists to find.
+    """
+    import scipy.sparse as _sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    A = _sp.coo_matrix(
+        (np.ones(cell_of_obs.size, np.float32),
+         (cell_of_obs, pts_of_obs)), shape=(V0, N)).tocsr()
+    G = (A @ A.T).tocsr()
+    deg = np.diff(G.indptr).astype(np.int64)
+    med = max(float(np.median(deg)), 1.0)
+    # a hub is co-visible with most of the graph AND far above typical:
+    # uniformly dense graphs (rigs, random) have med ~ V and flag nothing
+    hub_mask = deg > np.maximum(4.0 * med, 0.5 * V0)
+    if hub_mask.any() and hub_mask.sum() < 0.2 * V0:
+        keep = np.nonzero(~hub_mask)[0]
+        Gs = G[keep][:, keep].tocsr()
+        sub = np.asarray(
+            reverse_cuthill_mckee(Gs, symmetric_mode=True), np.int64)
+        perm = np.concatenate([keep[sub], np.nonzero(hub_mask)[0]])
+        return perm, hub_mask
+    perm = np.asarray(
+        reverse_cuthill_mckee(G, symmetric_mode=True), np.int64)
+    return perm, None
+
+
 def bucket_with_local(bucket: TileBucket, rows_chunk: int,
                       v_local_max: int | None = None,
                       min_v_local: int = 8) -> TileBucket:
@@ -221,21 +259,17 @@ def tiles_from_scene(
     # ids; combined with the mean-cell point ordering below, each chunk
     # then touches a narrow band of cells. Harmless when no locality
     # exists (rigs: the graph is near-complete and the order is moot).
+    hub_cell = None
     if locality and cells_np.shape[0] > 2:
-        import scipy.sparse as _sp
-        from scipy.sparse.csgraph import reverse_cuthill_mckee
-
         V0 = cells_np.shape[0]
-        A = _sp.coo_matrix(
-            (np.ones(cell_of_obs.size, np.float32),
-             (cell_of_obs, pts_of_obs)), shape=(V0, N)).tocsr()
-        perm = np.asarray(
-            reverse_cuthill_mckee((A @ A.T).tocsr(), symmetric_mode=True),
-            dtype=np.int64)
+        perm, hub_mask = _locality_cell_order(cell_of_obs, pts_of_obs,
+                                              V0, N)
         rank_v = np.empty(V0, np.int64)
         rank_v[perm] = np.arange(V0)
         cells_np = cells_np[perm]
         cell_of_obs = rank_v[cell_of_obs]
+        if hub_mask is not None and hub_mask.any():
+            hub_cell = rank_v[np.nonzero(hub_mask)[0]]
     six = np.arange(6)
     cols = np.concatenate(
         [
@@ -290,6 +324,17 @@ def tiles_from_scene(
     cell_sum = np.zeros(N)
     np.add.at(cell_sum, pts_of_obs, cell_of_obs.astype(np.float64))
     mean_cell = cell_sum / np.maximum(track, 1)
+    if hub_cell is not None:
+        # hub observations carry no locality signal — key each point by
+        # the mean of its NON-hub cells (points seen only by hubs keep
+        # the plain mean)
+        w_obs = (~np.isin(cell_of_obs, hub_cell)).astype(np.float64)
+        nh_sum = np.zeros(N)
+        np.add.at(nh_sum, pts_of_obs, cell_of_obs * w_obs)
+        nh_cnt = np.zeros(N)
+        np.add.at(nh_cnt, pts_of_obs, w_obs)
+        mean_cell = np.where(nh_cnt > 0,
+                             nh_sum / np.maximum(nh_cnt, 1), mean_cell)
     offset = 0
     for W in widths:
         members = np.nonzero(width == W)[0]

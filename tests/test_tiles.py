@@ -328,3 +328,72 @@ def test_dual_layout_step_matches_xla(problem):
                                np.asarray(sx.points), rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(sd.cam_vec),
                                np.asarray(sx.cam_vec), rtol=1e-6, atol=1e-9)
+
+
+def test_hub_robust_locality_ordering():
+    """Graph-partitioning fallback (VERDICT r5 item 5): a windowed scene
+    CONTAMINATED with hub cameras (popular views seen by most points —
+    they densify the co-visibility graph and wreck plain RCM bandwidth)
+    must still produce narrow per-chunk tables: hubs are stripped before
+    RCM, appended last, and excluded from the point locality key; the
+    exact per-chunk tables absorb the few hub ids each chunk touches."""
+    from deeparc_tpu.io.deeparc_format import DeepArcData
+    from deeparc_tpu.residuals.reprojection import flatten_camera
+
+    rng = np.random.default_rng(1)
+    n_win, n_hub, n_pts, track, window = 96, 4, 768, 4, 8
+    n_cam = n_win + n_hub
+    latent_start = (np.arange(n_pts) * (n_win - window)) // (n_pts - 1)
+    cams_latent = np.stack([
+        np.concatenate([
+            latent_start[i] + rng.choice(window, track - 1, replace=False),
+            [n_win + rng.integers(n_hub)],      # one hub obs per point
+        ]) for i in range(n_pts)
+    ])
+    shuffle = rng.permutation(n_cam)
+    obs_cam = shuffle[cams_latent].reshape(-1).astype(np.int32)
+    obs_point = np.repeat(np.arange(n_pts, dtype=np.int32), track)
+    obs_xy = rng.uniform(100.0, 900.0, size=(obs_point.size, 2))
+    data = DeepArcData(
+        version=0.01, share_extrinsic=False, arc_size=n_cam, ring_size=0,
+        obs_arc=obs_cam, obs_ring=obs_cam.copy(), obs_point=obs_point,
+        obs_xy=obs_xy,
+        center=np.tile([512.0, 512.0], (n_cam, 1)),
+        focal=np.concatenate(
+            [np.full((n_cam, 1), 800.0), np.zeros((n_cam, 1))], axis=1),
+        focal_size=np.ones(n_cam, dtype=np.int32),
+        dist=np.zeros((n_cam, 2)),
+        dist_size=np.zeros(n_cam, dtype=np.int32),
+        ext_rot=rng.normal(scale=0.1, size=(n_cam, 3)),
+        ext_trans=np.concatenate(
+            [rng.normal(scale=0.1, size=(n_cam, 2)),
+             np.full((n_cam, 1), 3.0)], axis=1),
+        points=rng.normal(scale=0.3, size=(n_pts, 3)),
+        colors=rng.integers(0, 256, size=(n_pts, 3)).astype(np.int32),
+    )
+    scene = from_deeparc(data)
+    free = freeze_masks(scene)
+    tiles, params_t, free_t = tiles_from_scene(scene, free, chunk_obs=512)
+    b = tiles.buckets[0]
+    assert b.loc, "locality blocking must engage despite the hubs"
+    Vl = b.loc[1].shape[1]
+    assert Vl <= 64, f"hub-robust ordering must stay narrow, V_local={Vl}"
+
+    # correctness: hub-ordered localized step == locality-free global step
+    opts = SolverOptions(
+        linear_solver="iterative_schur", cg_max_iterations=40,
+        min_relative_decrease=-1.0, function_tolerance=0.0,
+        gradient_tolerance=0.0, parameter_tolerance=0.0,
+    )
+    cam_free = flatten_camera(free)
+    tiles_g, params_g, free_g = tiles_from_scene(
+        scene, free, chunk_obs=512, locality=False)
+    step_l = make_tile_step(opts, params_t, chunk_obs=512)
+    step_g = make_tile_step(opts, params_g, chunk_obs=512)
+    sl = init_tile_state(params_t, tiles, opts, cam_free, chunk_obs=512)
+    sg = init_tile_state(params_g, tiles_g, opts, cam_free, chunk_obs=512)
+    for _ in range(2):
+        sl, _ = step_l(sl, tiles, cam_free, free_t)
+        sg, _ = step_g(sg, tiles_g, cam_free, free_g)
+        np.testing.assert_allclose(float(sl.cost), float(sg.cost),
+                                   rtol=1e-9)
