@@ -81,6 +81,11 @@ def parse_args(argv=None):
                    help="tiles engine: BAL-scale non-shared config "
                         "(1M points, 2000 free cameras, track 8, windowed "
                         "co-visibility — the locality real BAL scenes have)")
+    p.add_argument("--bal-hub", action="store_true",
+                   help="tiles: hub-contaminated windowed camera graph "
+                        "with shuffled ids, built host-side through "
+                        "tiles_from_scene (exercises the hub-robust "
+                        "locality fallback)")
     p.add_argument("--bal-random", action="store_true",
                    help="--bal with the round-2 uniform-random camera graph "
                         "(no locality; engines use global cell tables)")
@@ -146,7 +151,7 @@ def parse_args(argv=None):
 
 
 def build_config(args):
-    if args.bal_random or args.bal_heavytail:
+    if args.bal_random or args.bal_heavytail or args.bal_hub:
         args.bal = True
     if args.engine is None:
         args.engine = "tiles" if args.bal else "grid"
@@ -389,7 +394,28 @@ def measure(args) -> dict:
             init_tile_state, make_tile_step,
         )
 
-        if args.bal_heavytail:
+        if args.bal_hub:
+            # hub-contaminated windowed graph with SHUFFLED camera ids:
+            # built host-side through tiles_from_scene so the bench
+            # exercises the hub-robust locality ordering itself
+            # (solver/tiles._locality_cell_order), not a pre-known window
+            from deeparc_tpu.io.synthetic import make_bal_windowed_host
+            from deeparc_tpu.residuals.reprojection import flatten_camera
+            from deeparc_tpu.scene import freeze_masks, from_deeparc
+            from deeparc_tpu.solver.tiles import tiles_from_scene
+
+            n_pts = args.n_points or (4_000 if args.quick else 250_000)
+            n_cam = 64 if args.quick else 2000
+            data = make_bal_windowed_host(
+                n_cameras=n_cam, n_points=n_pts, track_length=8,
+                window=args.window, n_hubs=max(n_cam // 250, 2),
+                hub_frac=0.15, pixel_noise=cfg["pixel_noise"],
+                point_noise=cfg["point_noise"], seed=cfg["seed"])
+            scene = from_deeparc(data, dtype=jnp.float32)
+            free0 = freeze_masks(scene)
+            tiles, params, free_pts = tiles_from_scene(scene, free0)
+            cam_free = flatten_camera(free0).astype(jnp.float32)
+        elif args.bal_heavytail:
             from deeparc_tpu.io.synthetic import make_bal_heavytail_device
 
             n_pts = args.n_points or (4_000 if args.quick else 1_000_000)
@@ -430,7 +456,8 @@ def measure(args) -> dict:
         cam_free = cam_free.at[: 6].set(0.0)                  # gauge ext 0
         cam_free = cam_free.at[6 * (n_ext_rows - 1): 6 * n_ext_rows].set(0.0)
         cam_free = cam_free.at[6 * n_ext_rows:].set(0.0)      # intrinsics
-        point_free = jnp.ones_like(params.points)
+        point_free = (free_pts if args.bal_hub
+                      else jnp.ones_like(params.points))
 
         options = SolverOptions(
             linear_solver="iterative_schur",
@@ -1130,6 +1157,8 @@ MATRIX = [
       "--sweep-dtype", "bf16", "--sweep-block", "1024"]),
     ("tiles BAL 1M pts random graph (pallas)",
      ["--engine", "tiles", "--bal-random", "--no-baseline"]),
+    ("tiles BAL 250k pts hub-contaminated shuffled graph (hub-robust RCM)",
+     ["--engine", "tiles", "--bal-hub", "--no-baseline"]),
     # flat (M, 44)-packed layout: the flagship 400k-pt problem now fits the
     # 16 GB chip (the round-3 rank-3 layout padded ~28x and OOMed)
     ("indexed engine (reference layout, flagship 400k pts)",
@@ -1306,6 +1335,7 @@ def main(argv=None) -> int:
         "dense": bool(args.dense),
         "bal": bool(args.bal),
         "bal_random": bool(args.bal_random),
+        "bal_hub": bool(args.bal_hub),
         "seconds_per_iter": round(result["seconds_per_iter"], 6),
         "compile_s": round(result["compile_s"], 2),
     }

@@ -1065,3 +1065,113 @@ def make_bal_heavytail_device(
     gt_points = jnp.concatenate(gt_parts)
     params = _dc.replace(params_proto, points=jnp.concatenate(init_parts))
     return params, tiles, gt_points, cam_free
+
+
+def make_bal_windowed_host(
+    n_cameras: int = 2000,
+    n_points: int = 250_000,
+    track_length: int = 8,
+    window: int = 128,
+    n_hubs: int = 8,
+    hub_frac: float = 0.15,
+    rho: float = 3.0,
+    object_radius: float = 1.0,
+    focal: float = 800.0,
+    pixel_noise: float = 1.0,
+    point_noise: float = 0.02,
+    shuffle_ids: bool = True,
+    seed: int = 0,
+):
+    """Host-side windowed BAL scene with HUB contamination and shuffled
+    camera ids — the graph shape that exercises the tile engine's
+    hub-robust locality ordering (solver/tiles._locality_cell_order).
+
+    Cameras sit on a ring around the object (a capture path); each point
+    is seen by ``track_length`` cameras from a contiguous latent window,
+    except that with probability ``hub_frac`` an observation is replaced
+    by one of ``n_hubs`` elevated hub cameras that see everything (the
+    popular-view contamination of real photo collections). Camera ids are
+    then shuffled so no input ordering survives; only the co-visibility
+    structure remains for tiles_from_scene to find. Returns a
+    :class:`deeparc_tpu.io.deeparc_format.DeepArcData` (non-shared mode,
+    ``src/ParameterBlock.hh:52-55`` wiring).
+    """
+    from deeparc_tpu.io.deeparc_format import DeepArcData
+
+    rng = np.random.default_rng(seed)
+    n_win = n_cameras - n_hubs
+
+    # ring cameras + elevated hubs, all looking at the origin
+    ext_rot = np.zeros((n_cameras, 3))
+    ext_trans = np.zeros((n_cameras, 3))
+    az = 2.0 * np.pi * np.arange(n_win) / n_win
+    pos = np.stack([rho * np.cos(az), 0.25 * rho * np.ones(n_win),
+                    rho * np.sin(az)], axis=1)
+    az_h = 2.0 * np.pi * np.arange(max(n_hubs, 1)) / max(n_hubs, 1)
+    pos_h = np.stack([0.6 * rho * np.cos(az_h),
+                      1.1 * rho * np.ones(max(n_hubs, 1)),
+                      0.6 * rho * np.sin(az_h)], axis=1)[:n_hubs]
+    for c, p in enumerate(np.concatenate([pos, pos_h])):
+        R, t = _look_at(p, np.zeros(3))
+        ext_rot[c] = _rotmat_to_aa(R)
+        ext_trans[c] = t
+
+    pts = rng.normal(size=(n_points, 3))
+    pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
+    gt = pts * object_radius * np.cbrt(rng.uniform(size=(n_points, 1)))
+
+    # latent window start per point (progressive around the ring), with
+    # W distinct window picks via the sorted-draw + rank-offset trick
+    W = track_length
+    starts = (np.arange(n_points, dtype=np.int64) * n_win) // n_points
+    draw = rng.integers(0, window - W + 1, size=(n_points, W))
+    local = np.sort(draw, axis=1) + np.arange(W)[None, :]
+    cams = (starts[:, None] + local) % n_win
+    # hub substitution
+    hub_pick = rng.random((n_points, W)) < hub_frac
+    if n_hubs:
+        hub_ids = n_win + rng.integers(0, n_hubs, size=(n_points, W))
+        cams = np.where(hub_pick, hub_ids, cams)
+
+    obs_point = np.repeat(np.arange(n_points, dtype=np.int64), W)
+    obs_cam = cams.reshape(-1)
+
+    # project (vectorized per observation)
+    from scipy.spatial.transform import Rotation
+
+    R_all = Rotation.from_rotvec(ext_rot).as_matrix()
+    p_cam = (np.einsum("mij,mj->mi", R_all[obs_cam], gt[obs_point])
+             + ext_trans[obs_cam])
+    z = np.maximum(p_cam[:, 2], 0.2)
+    uv = focal * p_cam[:, :2] / z[:, None] + 512.0
+    uv += pixel_noise * rng.normal(size=uv.shape)
+
+    if shuffle_ids:
+        # old camera o gets new id inv[o]; camera arrays re-indexed so the
+        # new id slots hold the right parameters (new row n = old shuffle[n])
+        shuffle = rng.permutation(n_cameras)
+        inv = np.empty(n_cameras, np.int64)
+        inv[shuffle] = np.arange(n_cameras)
+        obs_cam = inv[obs_cam]
+        ext_rot = ext_rot[shuffle]
+        ext_trans = ext_trans[shuffle]
+    obs_cam = obs_cam.astype(np.int32)
+
+    init_pts = gt + point_noise * rng.normal(size=gt.shape)
+    return DeepArcData(
+        version=0.01, share_extrinsic=False,
+        arc_size=n_cameras, ring_size=0,
+        obs_arc=obs_cam, obs_ring=obs_cam.copy(),
+        obs_point=obs_point.astype(np.int32),
+        obs_xy=uv,
+        center=np.tile([512.0, 512.0], (n_cameras, 1)),
+        focal=np.concatenate(
+            [np.full((n_cameras, 1), focal), np.zeros((n_cameras, 1))],
+            axis=1),
+        focal_size=np.ones(n_cameras, dtype=np.int32),
+        dist=np.zeros((n_cameras, 2)),
+        dist_size=np.zeros(n_cameras, dtype=np.int32),
+        ext_rot=ext_rot, ext_trans=ext_trans,
+        points=init_pts,
+        colors=rng.integers(0, 256, size=(n_points, 3)).astype(np.int32),
+    )

@@ -130,19 +130,65 @@ def _locality_cell_order(cell_of_obs, pts_of_obs, V0, N):
     G = (A @ A.T).tocsr()
     deg = np.diff(G.indptr).astype(np.int64)
     med = max(float(np.median(deg)), 1.0)
-    # a hub is co-visible with most of the graph AND far above typical:
+    # a hub is co-visible with most of the graph AND well above typical:
     # uniformly dense graphs (rigs, random) have med ~ V and flag nothing
-    hub_mask = deg > np.maximum(4.0 * med, 0.5 * V0)
+    hub_mask = deg > np.maximum(2.0 * med, 0.5 * V0)
     if hub_mask.any() and hub_mask.sum() < 0.2 * V0:
         keep = np.nonzero(~hub_mask)[0]
-        Gs = G[keep][:, keep].tocsr()
-        sub = np.asarray(
-            reverse_cuthill_mckee(Gs, symmetric_mode=True), np.int64)
-        perm = np.concatenate([keep[sub], np.nonzero(hub_mask)[0]])
-        return perm, hub_mask
-    perm = np.asarray(
-        reverse_cuthill_mckee(G, symmetric_mode=True), np.int64)
-    return perm, None
+    else:
+        keep = np.arange(V0)
+        hub_mask = None
+    Gs = G[keep][:, keep].tocsr()
+
+    # candidate orders of the (stripped) graph: RCM, and the spectral
+    # CYCLIC embedding (capture paths are often closed rings; BFS-based
+    # RCM folds the cycle, doubling the band — the angle of the two
+    # leading nontrivial eigenvectors recovers ring order, exactly as in
+    # solver/rig_band._cell_orderings). Scored by p99 CYCLIC bandwidth
+    # over co-visibility edges (the point keys downstream handle a
+    # circular order).
+    cands = [np.asarray(
+        reverse_cuthill_mckee(Gs, symmetric_mode=True), np.int64)]
+    k = keep.size
+    if 4 <= k <= 4096:
+        a = np.asarray(Gs.todense(), np.float64)
+        d = np.maximum(a.sum(axis=1), 1e-9)
+        a = a / np.sqrt(d[:, None] * d[None, :])
+        try:
+            _, vecs = np.linalg.eigh(a)
+            cands.append(np.argsort(
+                np.arctan2(vecs[:, -3], vecs[:, -2])).astype(np.int64))
+        except np.linalg.LinAlgError:
+            pass
+
+    Gc = Gs.tocoo()
+    nz = Gc.row != Gc.col
+
+    def cyc_band(sub):
+        rank = np.empty(k, np.int64)
+        rank[sub] = np.arange(k)
+        dd = np.abs(rank[Gc.row[nz]] - rank[Gc.col[nz]])
+        dd = np.minimum(dd, k - dd)
+        return float(np.percentile(dd, 99)) if dd.size else 0.0
+
+    sub = min(cands, key=cyc_band)
+    if hub_mask is not None:
+        return (np.concatenate([keep[sub], np.nonzero(hub_mask)[0]]),
+                hub_mask)
+    return keep[sub], None
+
+
+def _order_chunk_width(members_sorted, rpc, pts_of_obs, cell_of_obs,
+                       sel_mask, N, V):
+    """Max distinct cells any rpc-row chunk touches under this member
+    order (the exact v_local the chunk tables would get, pre-pow2)."""
+    if members_sorted.size == 0:
+        return 0
+    rank = np.full(N, -1, np.int64)
+    rank[members_sorted] = np.arange(members_sorted.size)
+    chunk = rank[pts_of_obs[sel_mask]] // rpc
+    pairs = np.unique(chunk * np.int64(V) + cell_of_obs[sel_mask])
+    return int(np.bincount(pairs // V).max())
 
 
 def bucket_with_local(bucket: TileBucket, rows_chunk: int,
@@ -321,25 +367,46 @@ def tiles_from_scene(
     # bucket rows by it clusters co-visible points into the same chunks,
     # which is what makes the per-chunk local cell tables small (real
     # camera graphs index nearby cameras with nearby ids).
-    cell_sum = np.zeros(N)
-    np.add.at(cell_sum, pts_of_obs, cell_of_obs.astype(np.float64))
-    mean_cell = cell_sum / np.maximum(track, 1)
+    V_cells = cells_np.shape[0]
     if hub_cell is not None:
         # hub observations carry no locality signal — key each point by
-        # the mean of its NON-hub cells (points seen only by hubs keep
-        # the plain mean)
+        # its NON-hub cells only (points seen solely by hubs fall back
+        # to the plain statistics)
         w_obs = (~np.isin(cell_of_obs, hub_cell)).astype(np.float64)
-        nh_sum = np.zeros(N)
-        np.add.at(nh_sum, pts_of_obs, cell_of_obs * w_obs)
-        nh_cnt = np.zeros(N)
-        np.add.at(nh_cnt, pts_of_obs, w_obs)
-        mean_cell = np.where(nh_cnt > 0,
-                             nh_sum / np.maximum(nh_cnt, 1), mean_cell)
+    else:
+        w_obs = np.ones(cell_of_obs.shape[0])
+    cell_sum = np.zeros(N)
+    np.add.at(cell_sum, pts_of_obs, cell_of_obs * w_obs)
+    w_cnt = np.zeros(N)
+    np.add.at(w_cnt, pts_of_obs, w_obs)
+    all_sum = np.zeros(N)
+    np.add.at(all_sum, pts_of_obs, cell_of_obs.astype(np.float64))
+    mean_cell = np.where(
+        w_cnt > 0, cell_sum / np.maximum(w_cnt, 1),
+        all_sum / np.maximum(track, 1))
+    # circular-mean key: capture paths are often CLOSED (turntables,
+    # orbits), making the RCM band cyclic — a linear mean puts seam
+    # points (windows straddling cell V-1 / 0) in the middle of the
+    # order and pollutes many chunks. Per bucket, whichever key yields
+    # the narrower measured chunk tables wins (_order_chunk_width).
+    ang = 2.0 * np.pi * cell_of_obs / max(V_cells, 1)
+    sin_sum = np.zeros(N)
+    cos_sum = np.zeros(N)
+    np.add.at(sin_sum, pts_of_obs, np.sin(ang) * w_obs)
+    np.add.at(cos_sum, pts_of_obs, np.cos(ang) * w_obs)
+    theta_cell = np.arctan2(sin_sum, cos_sum)
     offset = 0
     for W in widths:
         members = np.nonzero(width == W)[0]
+        rpc_w = rows_per_chunk(W, chunk_obs)
         if locality:
-            members = members[np.argsort(mean_cell[members], kind="stable")]
+            sel_mask = width[pts_of_obs] == W
+            cands = [
+                members[np.argsort(mean_cell[members], kind="stable")],
+                members[np.argsort(theta_cell[members], kind="stable")],
+            ]
+            members = min(cands, key=lambda m: _order_chunk_width(
+                m, rpc_w, pts_of_obs, cell_of_obs, sel_mask, N, V_cells))
         Nb = members.size
         rpc = rows_per_chunk(W, chunk_obs)
         Nb_pad = -(-Nb // rpc) * rpc

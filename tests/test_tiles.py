@@ -397,3 +397,24 @@ def test_hub_robust_locality_ordering():
         sg, _ = step_g(sg, tiles_g, cam_free, free_g)
         np.testing.assert_allclose(float(sl.cost), float(sg.cost),
                                    rtol=1e-9)
+
+
+def test_bal_windowed_host_generator():
+    """make_bal_windowed_host: geometrically consistent (initial RMSE ~
+    focal * point_noise / rho), hub-contaminated, id-shuffled — and
+    tiles_from_scene recovers narrow chunk tables from it."""
+    from deeparc_tpu.io.synthetic import make_bal_windowed_host
+    from deeparc_tpu.residuals import cost as scene_cost
+
+    d = make_bal_windowed_host(
+        n_cameras=256, n_points=4000, track_length=8, window=48,
+        n_hubs=4, hub_frac=0.15, pixel_noise=0.0, point_noise=0.0, seed=5)
+    scene = from_deeparc(d)
+    c = float(scene_cost(scene.params, scene.index))
+    # noise-free: exact reprojections
+    assert c < 1e-6 * d.n_obs
+    free = freeze_masks(scene)
+    tiles, params_t, free_t = tiles_from_scene(scene, free, chunk_obs=2048)
+    b = tiles.buckets[0]
+    assert b.loc, "hub-robust locality must engage"
+    assert b.loc[1].shape[1] <= 128, b.loc[1].shape
