@@ -865,13 +865,15 @@ def measure_pipeline(args) -> dict:
         engine="grid",
         impl="pallas" if on_tpu else "planes",
     )
-    with tempfile.TemporaryDirectory() as tmp:
-        t1 = time.time()
-        res = run_pipeline(rig.data, opts, output_dir=tmp,
-                           basename="bench", dtype=jnp.float32,
-                           verbose=False)
-        wall = time.time() - t1
-        rounds = list(res.rounds)
+    # no output_dir: snapshot/serialization IO is not what this row
+    # measures (a 4M-obs .deeparc text write alone costs minutes); the
+    # per-round records come from res.rounds
+    t1 = time.time()
+    res = run_pipeline(rig.data, opts, output_dir=None,
+                       basename="bench", dtype=jnp.float32,
+                       verbose=False)
+    wall = time.time() - t1
+    rounds = list(res.rounds)
     return dict(
         pipeline_seconds=wall, gen_s=gen_s,
         filter_rounds=res.filter_rounds,

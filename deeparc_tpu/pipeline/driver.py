@@ -86,18 +86,20 @@ def _snapshot(scene: Scene, path: str) -> None:
 
 def _sync_grid_masks(scene: Scene, grid) -> Scene:
     """Reflect grid-space masks back onto the observation-list scene (for
-    snapshots, export, and freeze-mask construction)."""
-    mask = np.asarray(grid.mask)
-    cell = (
+    snapshots, export, and freeze-mask construction).
+
+    The gather runs ON DEVICE: pulling the dense (N, T) mask to the host
+    costs minutes through a tunneled chip (~300 MB at flagship scale) and
+    was the dominant cost of the whole pipeline loop before this."""
+    cell = jnp.asarray(
         scene.meta.obs_arc.astype(np.int64) * scene.meta.ring_size
-        + scene.meta.obs_ring.astype(np.int64)
+        + scene.meta.obs_ring.astype(np.int64), jnp.int32,
     )
-    obs_point = np.asarray(scene.index.obs_point)
     dtype = scene.params.points.dtype
     index = dataclasses.replace(
         scene.index,
-        obs_mask=jnp.asarray(mask[obs_point, cell], dtype),
-        point_mask=jnp.asarray(np.asarray(grid.point_mask), dtype),
+        obs_mask=grid.mask[scene.index.obs_point, cell].astype(dtype),
+        point_mask=grid.point_mask.astype(dtype),
     )
     return dataclasses.replace(scene, index=index)
 
@@ -194,6 +196,8 @@ def run_pipeline(
             log("[deeparc] grid-sharded: impl pallas -> planes (the "
                 "sharded grid path runs the XLA planes kernels)")
 
+        band_state: dict = {}    # band prep shared across filter rounds
+
         def run_solve(free):
             if mesh is not None:
                 from deeparc_tpu.parallel.sharded_grid import (
@@ -204,7 +208,7 @@ def run_pipeline(
                     scene.params, grid, free, options.solver, mesh=mesh,
                     impl=grid_impl)
             res = solve_ba_grid(scene.params, grid, free, options.solver,
-                                impl=grid_impl)
+                                impl=grid_impl, band_reuse=band_state)
             return res
 
         def run_filter():

@@ -57,6 +57,7 @@ class BandPrep(NamedTuple):
     # band width instead of the global max (in-band dead work fix)
     lin_groups: tuple = ()
     cost_groups: tuple = ()
+    cell_perm: jnp.ndarray | None = None   # new cell rank -> old cell id
 
     @property
     def widths(self):
@@ -360,4 +361,44 @@ def band_grid(
     return BandPrep(grid=new_grid, w_band=int(w_band),
                     w_band_cost=int(w_cost), perm=order, inv=inv,
                     block_np=block_np, cost_block_np=cost_block_np,
-                    lin_groups=lin_groups, cost_groups=cost_groups)
+                    lin_groups=lin_groups, cost_groups=cost_groups,
+                    cell_perm=jnp.asarray(cell_perm))
+
+
+def band_grid_update(prep: BandPrep, grid: GridIndex) -> BandPrep:
+    """Refresh a BandPrep for an UPDATED visibility mask of the same scene.
+
+    The pipeline's filter rounds only REMOVE observations
+    (``DeepArcManager::filterPoint3d`` semantics), so the stored band
+    covers remain valid covers of the shrunk mask; orderings, band
+    widths, groups, and start tables are all reused — every solve of the
+    loop then shares ONE compiled step instead of re-prepping and
+    re-compiling per round (band prep + fresh compiles dominated the
+    pipeline row's wall clock through the tunneled chip). Only the
+    observation planes are re-gathered, on device."""
+    from deeparc_tpu.kernels.rig_pallas import (
+        banded_planes, gather_banded_planes,
+    )
+
+    assert prep.cell_perm is not None, "prep predates cell_perm storage"
+    order, cp = prep.perm, prep.cell_perm
+    g = prep.grid._replace(
+        xy0=grid.xy0[order][:, cp],
+        xy1=grid.xy1[order][:, cp],
+        mask=grid.mask[order][:, cp],
+        point_mask=grid.point_mask[order],
+    )
+    starts_d, starts_cost_d = prep.grid.band[0], prep.grid.band[1]
+    N = grid.xy0.shape[0]
+    n_pad = -(-N // max(prep.block_np, prep.cost_block_np)) * max(
+        prep.block_np, prep.cost_block_np)
+    pxm_ext = banded_planes(g, n_pad, max(prep.w_band, prep.w_band_cost))
+    pxm_lin = tuple(
+        gather_banded_planes(pxm_ext, starts_d, w, prep.block_np, lo, hi)
+        for w, lo, hi in prep.lin_groups)
+    pxm_cost = tuple(
+        gather_banded_planes(pxm_ext, starts_cost_d, w, prep.cost_block_np,
+                             lo, hi)
+        for w, lo, hi in prep.cost_groups)
+    g = g._replace(band=(starts_d, starts_cost_d, pxm_lin, pxm_cost))
+    return prep._replace(grid=g)

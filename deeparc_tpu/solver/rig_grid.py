@@ -97,15 +97,20 @@ def grid_from_scene(scene: Scene, dtype=None) -> GridIndex:
         scene.meta.obs_arc.astype(np.int64) * R_rings
         + scene.meta.obs_ring.astype(np.int64)
     )
-    obs_point = np.asarray(scene.index.obs_point)
-    obs_alive = np.asarray(scene.index.obs_mask) > 0.5
 
-    xy = np.zeros((N, T, 2))
-    mask = np.zeros((N, T))
-    xy[obs_point[obs_alive], cell_of_obs[obs_alive]] = np.asarray(
-        scene.index.obs_xy
-    )[obs_alive]
-    mask[obs_point[obs_alive], cell_of_obs[obs_alive]] = 1.0
+    # densify ON DEVICE from the flat observation list, with NO host
+    # round-trips: uploading the dense (N, T) planes costs ~12x the obs
+    # list's bytes (at flagship scale ~920 MB vs ~80 MB — minutes through
+    # a tunneled chip), and the index/mask arrays already live on device.
+    # Dead observations scatter a zero mask, which is exact because each
+    # (point, cell) pair holds at most one observation.
+    op_d = scene.index.obs_point
+    cell_d = jnp.asarray(cell_of_obs, jnp.int32)
+    m_d = scene.index.obs_mask.astype(dtype)
+    xy_d = scene.index.obs_xy.astype(dtype)
+    xy0_d = jnp.zeros((N, T), dtype).at[op_d, cell_d].set(xy_d[:, 0] * m_d)
+    xy1_d = jnp.zeros((N, T), dtype).at[op_d, cell_d].set(xy_d[:, 1] * m_d)
+    mask_d = jnp.zeros((N, T), dtype).at[op_d, cell_d].set(m_d)
 
     n_ext_rows = scene.params.ext_rot.shape[0]
     K = scene.n_intrinsics
@@ -119,9 +124,9 @@ def grid_from_scene(scene: Scene, dtype=None) -> GridIndex:
     m1 = np.asarray(scene.index.dist_m1)[intr]
     m2 = np.asarray(scene.index.dist_m2)[intr]
     return GridIndex(
-        xy0=jnp.asarray(xy[..., 0], dtype),
-        xy1=jnp.asarray(xy[..., 1], dtype),
-        mask=jnp.asarray(mask, dtype),
+        xy0=xy0_d,
+        xy1=xy1_d,
+        mask=mask_d,
         point_mask=jnp.asarray(np.asarray(scene.index.point_mask), dtype),
         slot_outer=jnp.asarray(outer, jnp.int32),
         slot_inner=jnp.asarray(inner, jnp.int32),
@@ -921,6 +926,7 @@ def solve_ba_grid(
     while_block: int = 10,
     band: str = "auto",
     fuse_trial: bool | None = None,
+    band_reuse: dict | None = None,
 ):
     """LM to convergence on the grid engine. Returns a solver.ba.BAResult.
 
@@ -951,9 +957,20 @@ def solve_ba_grid(
     band_prep = None
     intr_frozen = False
     if band == "auto" and impl == "pallas":
-        from deeparc_tpu.solver.rig_band import band_grid
+        from deeparc_tpu.solver.rig_band import band_grid, band_grid_update
 
-        prep = band_grid(grid)
+        # ``band_reuse``: a caller-held dict carrying the prep across the
+        # pipeline's solve/filter rounds — the filter only removes
+        # observations, so the stored covers stay valid and every round
+        # shares ONE compiled step (re-prep + re-compile dominated the
+        # pipeline row's wall clock)
+        if band_reuse is not None and "prep" in band_reuse:
+            prep = (band_grid_update(band_reuse["prep"], grid)
+                    if band_reuse["prep"] is not None else None)
+        else:
+            prep = band_grid(grid)
+            if band_reuse is not None:
+                band_reuse["prep"] = prep
         if prep is not None:
             band_prep = prep
             if options.progress_to_stdout:

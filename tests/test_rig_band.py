@@ -241,3 +241,49 @@ def test_solve_ba_grid_band_auto_matches_planes():
     np.testing.assert_allclose(np.asarray(res_b.params.points),
                                np.asarray(res_p.params.points),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_band_reuse_across_filter_rounds():
+    """band_reuse: the pipeline's second round refreshes the stored prep
+    (band_grid_update — same orderings/widths/starts, planes re-gathered
+    for the SHRUNK mask) and must match a fresh prep's solve exactly
+    (the filter only removes observations, so stored covers stay valid)."""
+    import dataclasses
+
+    from deeparc_tpu.config import SolverOptions
+    from deeparc_tpu.solver.rig_grid import solve_ba_grid
+
+    params, grid, _ = make_grid_rig_device(
+        n_arc=3, n_ring=16, n_points=300, occlusion_rings=4, visibility=0.9,
+        pixel_noise=0.8, point_noise=0.02, seed=7, dtype=jnp.float64,
+    )
+    free = dataclasses.replace(
+        params,
+        points=jnp.ones_like(params.points),
+        ext_rot=jnp.ones_like(params.ext_rot).at[0].set(0.0),
+        ext_trans=jnp.ones_like(params.ext_trans).at[0].set(0.0),
+        center=jnp.zeros_like(params.center),
+        focal=jnp.zeros_like(params.focal),
+        dist=jnp.zeros_like(params.dist),
+    )
+    options = SolverOptions(linear_solver="dense_schur", max_iterations=2)
+    state: dict = {}
+    solve_ba_grid(params, grid, free, options, impl="pallas",
+                  chunk_size=128, band="auto", band_reuse=state)
+    assert state["prep"] is not None
+
+    # filter round: drop ~15% of live observations
+    rng = np.random.default_rng(3)
+    mask = np.asarray(grid.mask)
+    drop = (rng.random(mask.shape) < 0.15) & (mask > 0.5)
+    grid2 = grid._replace(mask=jnp.asarray(mask * ~drop, mask.dtype))
+
+    res_reuse = solve_ba_grid(params, grid2, free, options, impl="pallas",
+                              chunk_size=128, band="auto",
+                              band_reuse=state)
+    res_fresh = solve_ba_grid(params, grid2, free, options, impl="pallas",
+                              chunk_size=128, band="auto")
+    np.testing.assert_allclose(res_reuse.cost, res_fresh.cost, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_reuse.params.points),
+                               np.asarray(res_fresh.params.points),
+                               rtol=1e-6, atol=1e-9)
