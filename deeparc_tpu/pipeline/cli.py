@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: one ring / C//8)")
     p.add_argument("--no-pose-graph", action="store_true",
                    help="--incremental: skip the pose-graph stage")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(~/.cache/deeparc_tpu/jax); first-compile time "
+                        "dominates time-to-first-result on small scenes, "
+                        "so the CLI caches compiled executables by default")
     return p
 
 
@@ -103,6 +108,22 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     elif args.platform in ("axon", "tpu"):
         jax.config.update("jax_platforms", "axon")
+    if not args.no_compile_cache:
+        # persistent compile cache: the pipeline re-runs identical step
+        # HLO across rounds and across invocations; first-compile time is
+        # the dominant time-to-first-result cost at small scale (compile_s
+        # is recorded per bench row)
+        import os as _os
+
+        cache_dir = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "deeparc_tpu", "jax")
+        try:
+            _os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
     if args.debug_nans:
