@@ -1193,8 +1193,10 @@ MATRIX = [
       "--sweep-dtype", "bf16", "--sweep-block", "1024"]),
     ("tiles BAL 1M pts random graph (pallas)",
      ["--engine", "tiles", "--bal-random", "--no-baseline"]),
-    ("tiles BAL 250k pts hub-contaminated shuffled graph (hub-robust RCM)",
-     ["--engine", "tiles", "--bal-hub", "--no-baseline"]),
+    ("tiles BAL 250k pts hub-contaminated shuffled graph (hub-robust RCM, "
+     "bf16 sweeps)",
+     ["--engine", "tiles", "--bal-hub", "--sweep-dtype", "bf16",
+      "--sweep-block", "1024", "--no-baseline"]),
     # flat (M, 44)-packed layout: the flagship 400k-pt problem now fits the
     # 16 GB chip (the round-3 rank-3 layout padded ~28x and OOMed)
     ("indexed engine (reference layout, flagship 400k pts)",
